@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: n=4096 62-bit-tier negacyclic NTT throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "modmul/s", "vs_baseline": N}
+
+The metric is NTT-equivalent modular multiplies per second (each radix-2
+Harvey butterfly = one Shoup modmul, n/2*log2(n) per transform), the
+BASELINE.json north-star unit; baseline target is 1e9 modmul/s/chip.
+
+Runs on whatever JAX platform the environment provides (TPU under the
+driver; CPU as a fallback).  Uses the 50-bit reference bench prime
+q=1125899906826241 (crates/primus_ntt/benches/bench_u64.rs:8).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from primus_fhe_tpu.numeric import to_u64_pair
+    from primus_fhe_tpu.transforms import build_plan64, forward64
+
+    log_n = 12
+    n = 1 << log_n
+    q = 1125899906826241  # 50-bit reference bench prime
+    batch = 32
+    plan = build_plan64(log_n, q)
+
+    rng = np.random.default_rng(7)
+    data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
+
+    fwd = jax.jit(lambda p, v: forward64(p, v, out_factor=4))
+
+    # Warmup / compile
+    out = fwd(plan, data)
+    jax.block_until_ready(out)
+
+    # Timed runs
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd(plan, data)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ntts = reps * batch
+    modmuls = ntts * (n // 2) * log_n
+    rate = modmuls / dt
+    print(
+        f"[bench] platform={jax.devices()[0].platform} device={jax.devices()[0].device_kind} "
+        f"ntts/s={ntts/dt:.1f} time={dt:.3f}s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "n=4096 50-bit NTT-equivalent modmuls/s/chip",
+                "value": rate,
+                "unit": "modmul/s",
+                "vs_baseline": rate / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""TFHE blind-rotation bootstrapping.
+
+The reference stops at the external product + LWE extraction — "callers are
+expected to compose blind rotation etc." (SURVEY.md §1).  This module is
+that composition, built TPU-first:
+
+1. **modulus switch**: LWE coefficients mod 2^32 -> rounded mod 2N,
+2. **blind rotate**: ``acc <- CMux(BSK_i, acc * X^{a_i}, acc)`` over the
+   LWE mask — a ``lax.scan`` over the bootstrap key with the exact
+   CRT-NTT external product as the body (compiled once, runs n_lwe times),
+3. **sample extract**: RLWE coefficient 0 -> LWE (rlwe/coeff.rs:194-230).
+
+CMux uses the linearity of the external product:
+``CMux(C, d1, d0) = d0 + (d1 - d0) ⊡ C`` — one external product per step.
+Batched ciphertexts ride along leading axes; the scan is shared.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decompose.primitive import ApproxSignedBasis32
+from ..lattice.tfhe import external_product
+from ..transforms.torus import TorusConvolver32
+
+_U32 = jnp.uint32
+
+
+def modulus_switch(lwe, log_2n: int):
+    """Rounds torus-2^32 LWE coefficients to ``Z_{2N}`` (round-to-nearest).
+
+    ``round(x * 2N / 2^32) mod 2N`` — the standard pre-rotation switch.
+    """
+    shift = 32 - log_2n
+    half = _U32(1 << (shift - 1))
+    return ((lwe + half) >> shift).astype(jnp.int32) & ((1 << log_2n) - 1)
+
+
+def _rotate_glwe(glwe, degree, n: int):
+    """``glwe * X^degree`` mod ``X^N + 1`` over the 2^32 torus (wrapping).
+
+    ``degree`` broadcasts against ``glwe.shape[:-1]`` (scalar, or per-batch
+    with trailing 1-axes added by the caller).
+    """
+    k = jnp.arange(n, dtype=jnp.int32)
+    kd = (k - jnp.asarray(degree, jnp.int32)[..., None]) % (2 * n)
+    idx = kd & (n - 1)
+    neg = kd >= n
+    if idx.ndim == 1:
+        g = glwe[..., idx]
+    else:
+        shape = jnp.broadcast_shapes(glwe.shape, idx.shape)
+        idx_b = jnp.broadcast_to(idx, shape)
+        g = jnp.take_along_axis(jnp.broadcast_to(glwe, shape), idx_b, axis=-1)
+        neg = jnp.broadcast_to(neg, shape)
+    return jnp.where(neg, jnp.zeros_like(g) - g, g)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def blind_rotate(
+    conv: TorusConvolver32,
+    basis: ApproxSignedBasis32,
+    bsk_ntt,  # (n_lwe, kp, k+1, L, k+1, N) — GGSW(s_i) in NTT residues
+    lwe_switched,  # (..., n_lwe + 1) int32 mod 2N
+    test_poly,  # (N,) torus u32
+):
+    """Returns the rotated accumulator GLWE ``(..., k+1, N)``.
+
+    ``acc = (0, v * X^{-b})``; for each mask element
+    ``acc <- acc + (acc * X^{a_i} - acc) ⊡ BSK_i``.
+    """
+    n_lwe = bsk_ntt.shape[0]
+    kp, k1, level, k1b, n = bsk_ntt.shape[1:]
+    batch = lwe_switched.shape[:-1]
+
+    b = lwe_switched[..., n_lwe]
+    v_rot = _rotate_glwe(test_poly, -b, n)
+    acc = jnp.zeros(batch + (k1, n), dtype=_U32)
+    acc = acc.at[..., -1, :].set(v_rot)
+
+    def body(acc, x):
+        a_i, bsk_i = x
+        deg = a_i[..., None] if batch else a_i  # broadcast over the k+1 axis
+        rotated = _rotate_glwe(acc, deg, n)
+        diff = rotated - acc
+        delta = external_product(conv, basis, diff, bsk_i)
+        return acc + delta, None
+
+    a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)  # (n_lwe, ...)
+    acc, _ = jax.lax.scan(body, acc, (a_t, bsk_ntt))
+    return acc
+
+
+def make_bootstrap_key(key, lwe_secret, glwe_secret, basis, gaussian, conv):
+    """BSK_i = GGSW(s_i) under the GLWE secret, stacked ``(n_lwe, ...)``.
+
+    ``lwe_secret``: (n_lwe,) bits as uint32.
+    """
+    from ..lattice.tfhe import ggsw_encrypt_torus, ggsw_to_ntt
+
+    n_lwe = lwe_secret.shape[0]
+    keys = jax.random.split(key, n_lwe)
+    rows = []
+    for i in range(n_lwe):
+        g = ggsw_encrypt_torus(keys[i], lwe_secret[i], glwe_secret, basis, gaussian, conv)
+        rows.append(ggsw_to_ntt(conv, g))
+    return jnp.stack(rows)
+
+
+def test_polynomial(n: int, message_bits: int) -> np.ndarray:
+    """The negacyclic sign test vector encoding ``f(x) = msb bucket``.
+
+    The canonical gate-bootstrap test poly: constant ``1/8`` scaled into the
+    top bits; callers wanting programmable bootstrap pass their own table.
+    """
+    delta = 1 << (32 - message_bits - 1)
+    return np.full(n, delta, dtype=np.uint32)
+
+
+def bootstrap(conv, basis, bsk_ntt, lwe_ct, test_poly, log_n: int):
+    """Full pipeline: modulus switch -> blind rotate -> extract LWE."""
+    from ..lattice.rlwe import extract_lwe_torus32
+
+    switched = modulus_switch(lwe_ct, log_n + 1)
+    acc = blind_rotate(conv, basis, bsk_ntt, switched, test_poly)
+    # extract from the (body, mask...) GLWE: treat k=1 GLWE as RLWE
+    rlwe = acc  # (..., k+1, N) with k=1: [a, b]
+    return extract_lwe_torus32(rlwe)

@@ -1,0 +1,133 @@
+"""TFHE external product — exact CRT-NTT backend.
+
+Reference: ``crates/primus_lattice/src/tfhe/external_product.rs:36-93`` and
+the coeff↔Fourier conversions (``src/tfhe/convert.rs:32-143``).  Structure
+is identical — signed gadget decomposition, per-digit forward transform,
+multiply-accumulate against the GGSW rows, one inverse transform — but the
+transform is the exact integer CRT-NTT (:class:`TorusConvolver32`), so the
+result carries **zero** transform noise (the f64 FFT path of the reference
+rounds; this path does not).
+
+Shapes (u32 torus):
+- ``glwe``:     ``(B..., k+1, N)``
+- ``key``:      coeff ``(k+1, L, k+1, N)``; NTT form ``(kp, k+1, L, k+1, N)``
+- ``output``:   ``(B..., k+1, N)``
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decompose.primitive import ApproxSignedBasis32
+from ..distr.sampling import DiscreteGaussian
+from ..modular.modops import reduce_once32, sum_mod32, lazy_mul32
+from ..transforms.torus import TorusConvolver32
+
+_U32 = jnp.uint32
+
+
+def external_product_bound_bits(n: int, level: int, k: int, log_basis: int) -> int:
+    """Proven bound on the centered convolution accumulator magnitude.
+
+    ``|acc| <= n * level * (k+1) * (B/2) * 2^31`` — every digit is centered
+    in ``[-B/2, B/2]`` and every key coefficient in ``[-2^31, 2^31)``.
+    """
+    import math
+
+    return 31 + (log_basis - 1) + math.ceil(math.log2(n * level * (k + 1))) + 1
+
+
+def make_convolver(n_log: int, level: int, k: int, log_basis: int) -> TorusConvolver32:
+    return TorusConvolver32(
+        n_log, external_product_bound_bits(1 << n_log, level, k, log_basis)
+    )
+
+
+def ggsw_to_ntt(conv: TorusConvolver32, ggsw_coeff):
+    """Coeff-domain GGSW ``(k+1, L, k+1, N)`` -> NTT residues (convert.rs)."""
+    return conv.forward(ggsw_coeff)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def external_product(
+    conv: TorusConvolver32,
+    basis: ApproxSignedBasis32,
+    glwe,
+    key_ntt,
+):
+    """``output = glwe ⊡ key`` (external_product.rs:36-93), exact.
+
+    ``glwe``: ``(B..., k+1, N)`` torus u32; ``key_ntt``: as from
+    :func:`ggsw_to_ntt`.  Returns ``(B..., k+1, N)``.
+    """
+    kp = conv.count
+    k1, level, k1b, n = key_ntt.shape[1:]
+    assert k1 == k1b
+    batch = glwe.shape[:-2]
+
+    # 1. signed decomposition: (L, B..., k+1, N) -> (B..., k+1, L, N)
+    digits = basis.decompose(glwe)
+    digits = jnp.moveaxis(digits, 0, -2)
+
+    # 2. forward transform all digits at once: (kp, B..., k+1, L, N)
+    f = conv.forward(digits)
+
+    # 3. multiply-accumulate over (input component, level):
+    #    acc[kp, B..., j, N] = sum_{r,l} f[kp,B..,r,l,N] * key[kp,r,l,j,N]
+    key_b = key_ntt.reshape((kp,) + (1,) * len(batch) + (k1, level, k1, n))
+    fe = f[..., :, :, None, :]  # (kp, B..., r, l, 1, N)
+    m_prod = conv._m(fe.ndim - 1)
+    t = lazy_mul32(fe, key_b, m_prod)
+    t = reduce_once32(t, m_prod.value)  # canonical terms
+    # sum over r and l (axes -4, -3): move to trailing and exact-reduce.
+    t = jnp.moveaxis(t, (-4, -3), (-2, -1))  # (kp, B..., j, N, r, l)
+    t = t.reshape(t.shape[:-2] + (-1,))
+    m_out = conv._m(t.ndim - 2)
+    acc = sum_mod32(t, m_out, axis=-1)  # (kp, B..., k+1, N)
+
+    # 4. inverse transform + CRT recombine back to the torus.
+    return conv.recombine(conv.inverse(acc))
+
+
+# ---------------------------------------------------------------------------
+# GGSW encryption (test/bootstrap-key construction helper)
+# ---------------------------------------------------------------------------
+
+
+def ggsw_encrypt_torus(
+    key,
+    mu,  # scalar int (message, e.g. 0/1) or (N,) torus poly
+    secret,  # (k, N)
+    basis: ApproxSignedBasis32,
+    gaussian: DiscreteGaussian,
+    conv: TorusConvolver32,
+):
+    """GGSW(mu): row r level l = GLWE(0) + mu * B^l * 2^drop at component r.
+
+    The standard TFHE gadget layout aligned with the external-product row
+    order (a_1..a_k, b) — see tfhe/external_product.rs:64.
+    """
+    from .glwe import generate_random_zero_sample_torus
+
+    k, n = secret.shape
+    level = basis.decompose_length
+    rows = []
+    keys = jax.random.split(key, (k + 1) * level)
+    mu_arr = jnp.asarray(mu, dtype=_U32)
+    if mu_arr.ndim == 0:
+        # scalar message = the constant polynomial mu (coefficient 0 only).
+        mu_arr = jnp.zeros(n, dtype=_U32).at[0].set(mu_arr)
+    idx = 0
+    for r in range(k + 1):
+        for l in range(level):
+            z = generate_random_zero_sample_torus(keys[idx], secret, gaussian, conv)
+            idx += 1
+            scalar = _U32(basis.scalars[l] & 0xFFFFFFFF)
+            z = z.at[r].add(mu_arr * scalar)
+            rows.append(z)
+    out = jnp.stack(rows).reshape(k + 1, level, k + 1, n)
+    return out

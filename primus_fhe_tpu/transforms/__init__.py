@@ -1,0 +1,32 @@
+"""Negacyclic transforms: NTT plans, forward/inverse kernels, DCRT, torus FFT."""
+
+from .plan import NttPlan32, NttPlan64, build_plan32, build_plan64
+from .ntt import (
+    forward32,
+    forward64,
+    inverse32,
+    inverse64,
+    monomial32,
+    monomial64,
+    pointwise_mul32,
+    pointwise_mul64,
+    negacyclic_mul32,
+    negacyclic_mul64,
+)
+
+__all__ = [
+    "NttPlan32",
+    "NttPlan64",
+    "build_plan32",
+    "build_plan64",
+    "forward32",
+    "forward64",
+    "inverse32",
+    "inverse64",
+    "monomial32",
+    "monomial64",
+    "pointwise_mul32",
+    "pointwise_mul64",
+    "negacyclic_mul32",
+    "negacyclic_mul64",
+]
