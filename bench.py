@@ -29,27 +29,46 @@ def main():
     log_n = 12
     n = 1 << log_n
     q = 1125899906826241  # 50-bit reference bench prime
-    batch = 32
+    batch = 64
     plan = build_plan64(log_n, q)
 
     rng = np.random.default_rng(7)
     data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
-    fwd = jax.jit(lambda p, v: forward64(p, v, out_factor=4))
+    # Chain transforms inside one executable via fori_loop (no overlap
+    # hiding, no dispatch overhead) and return a checksum scalar whose
+    # host fetch forces full device execution — robust against async
+    # runtimes where block_until_ready returns early.
+    import jax.numpy as jnp
+    from functools import partial
 
-    # Warmup / compile
-    out = fwd(plan, data)
-    jax.block_until_ready(out)
+    @partial(jax.jit, static_argnames=("reps",))
+    def chained(p, v, reps):
+        def body(_, v):
+            return forward64(p, v, out_factor=4)
 
-    # Timed runs
-    reps = 20
+        v = jax.lax.fori_loop(0, reps, body, v)
+        return jnp.sum(v.lo ^ v.hi, dtype=jnp.uint32)
+
+    # The remote-device runtime has multi-second fixed dispatch/fetch
+    # latency, so throughput is measured from the *difference* between two
+    # workload sizes, cancelling the constant overhead.
+    r1, r2 = 64, 1024
+    _ = float(chained(plan, data, r1))  # warmup/compile small
+    _ = float(chained(plan, data, r2))  # warmup/compile large
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(plan, data)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    _ = float(chained(plan, data, r1))
+    t1 = time.perf_counter()
+    _ = float(chained(plan, data, r2))
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9)
+    reps_total = r2 - r1
+    print(
+        f"[bench] t(r1={r1})={t1-t0:.3f}s t(r2={r2})={t2-t1:.3f}s",
+        file=sys.stderr,
+    )
 
-    ntts = reps * batch
+    ntts = reps_total * batch
     modmuls = ntts * (n // 2) * log_n
     rate = modmuls / dt
     print(

@@ -47,13 +47,16 @@ class ShoupFactor64(NamedTuple):
 
 def shoup32(w, q) -> ShoupFactor32:
     """Builds a :class:`ShoupFactor32` from host ints (scalar or array)."""
-    w_arr = np.asarray(w, dtype=np.uint64)
-    q_arr = np.asarray(q, dtype=np.uint64)
-    quot = ((w_arr.astype(object) << 32) // q_arr.astype(object)).astype(object)
-    quot32 = np.vectorize(lambda v: np.uint32(int(v) & 0xFFFFFFFF), otypes=[np.uint32])(quot)
-    return ShoupFactor32(
-        jnp.asarray(w_arr.astype(np.uint32)), jnp.asarray(np.asarray(quot32))
-    )
+    scalar = np.asarray(w).ndim == 0 and np.asarray(q).ndim == 0
+    w_arr = np.atleast_1d(np.asarray(w, dtype=np.uint64))
+    q_arr = np.atleast_1d(np.asarray(q, dtype=np.uint64))
+    wb, qb = np.broadcast_arrays(w_arr, q_arr)
+    quot = np.empty(wb.shape, dtype=np.uint32)
+    for i, _ in np.ndenumerate(quot):
+        quot[i] = ((int(wb[i]) << 32) // int(qb[i])) & 0xFFFFFFFF
+    if scalar:
+        return ShoupFactor32(jnp.uint32(wb[0]), jnp.uint32(quot[0]))
+    return ShoupFactor32(jnp.asarray(wb.astype(np.uint32)), jnp.asarray(quot))
 
 
 def shoup64(w, q) -> ShoupFactor64:

@@ -1,0 +1,336 @@
+"""Fused negacyclic NTT kernels (Pallas, TPU).
+
+Replaces the reference's AVX-512 stage kernels
+(``crates/primus_ntt/src/ntt/prime64/avx512/{stages,transform}.rs``) with a
+single VMEM-resident kernel: all ``log n`` butterfly stages execute on a
+polynomial batch tile without touching HBM in between — the XLA-staged jnp
+path streams every stage through HBM, which is exactly the bandwidth wall
+this kernel removes.
+
+Design:
+- **Uniform stage formulation.** Every stage is a lane/sublane ``roll`` by
+  ``±t`` plus a mask select — no reshapes.  For element position ``p`` in a
+  stage with half-block ``t``: ``is_x = (p & t) == 0``; the butterfly pair
+  is ``(v[p], v[p+t])``.  The HEXL T8/T4/T2/T1 register layouts collapse
+  into this one pattern.
+- **Pre-expanded per-lane root tables** ``(log n, n)``: stage ``s`` uses
+  ``roots[m + p // (2t)]`` at every position — expanded host-side once per
+  plan (the Pallas analogue of the reference's pre-expanded AVX tables,
+  ``table.rs:91-103``), so the kernel does zero gathers.
+- Lazy-range discipline identical to the scalar reference: values stay in
+  ``[0, 4q)``; one ``reduce_twice`` at the end when a canonical output is
+  requested.
+
+The modulus is a Python-int closure constant: one compiled kernel per
+(modulus, n, batch-tile), cached by jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..golden.model import GoldenNtt
+from ..numeric.limb import U64, to_u64_pair
+
+_U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Host-side plan with per-lane expanded tables
+# ---------------------------------------------------------------------------
+
+
+class PallasNttPlan64:
+    """Expanded root tables for the fused u64 NTT kernel."""
+
+    def __init__(self, log_n: int, q: int):
+        self.log_n = log_n
+        self.n = n = 1 << log_n
+        self.q = q
+        g = GoldenNtt(log_n, q)
+
+        def quot64(w):
+            return ((w << 64) // q) & 0xFFFFFFFFFFFFFFFF
+
+        # forward: stage s has m = 2^s blocks, t = n >> (s+1);
+        # position p uses roots[m + p // (2t)].
+        fwd_w = np.zeros((log_n, n), dtype=np.uint64)
+        fwd_p = np.zeros((log_n, n), dtype=np.uint64)
+        p_idx = np.arange(n)
+        for s in range(log_n):
+            m = 1 << s
+            t = n >> (s + 1)
+            idx = m + p_idx // (2 * t)
+            fwd_w[s] = [g.roots[i] for i in idx]
+            fwd_p[s] = [quot64(g.roots[i]) for i in idx]
+
+        # inverse: stage s has t = 2^s, m = n >> (s+1); roots are consumed
+        # sequentially starting at 1 + n - (n >> s); block j uses
+        # inv_roots[start + j], j = p // (2t).  Final stage uses inv_n and
+        # inv_n_w on the two halves.
+        inv_w = np.zeros((log_n, n), dtype=np.uint64)
+        inv_p = np.zeros((log_n, n), dtype=np.uint64)
+        for s in range(log_n - 1):
+            t = 1 << s
+            start = 1 + n - (n >> s)
+            idx = start + p_idx // (2 * t)
+            inv_w[s] = [g.inv_roots[i] for i in idx]
+            inv_p[s] = [quot64(g.inv_roots[i]) for i in idx]
+        # final fused stage: x half gets inv_n, y half gets inv_n_w
+        inv_w[log_n - 1, : n // 2] = g.inv_n
+        inv_w[log_n - 1, n // 2 :] = g.inv_n_w
+        inv_p[log_n - 1, : n // 2] = quot64(g.inv_n)
+        inv_p[log_n - 1, n // 2 :] = quot64(g.inv_n_w)
+
+        self.fwd_w = to_u64_pair(fwd_w)
+        self.fwd_p = to_u64_pair(fwd_p)
+        self.inv_w = to_u64_pair(inv_w)
+        self.inv_p = to_u64_pair(inv_p)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel u64 helpers (lo/hi uint32 pairs as separate arrays)
+# ---------------------------------------------------------------------------
+
+
+def _mul_wide_u32(a, b):
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    ll = a0 * b0
+    m1 = a1 * b0 + (ll >> 16)
+    m2 = a0 * b1 + (m1 & 0xFFFF)
+    hi = a1 * b1 + (m1 >> 16) + (m2 >> 16)
+    return a * b, hi
+
+
+def _mul_lo64(alo, ahi, blo, bhi):
+    lo, hi = _mul_wide_u32(alo, blo)
+    return lo, hi + alo * bhi + ahi * blo
+
+
+def _mul_hi64(alo, ahi, blo, bhi):
+    l00, h00 = _mul_wide_u32(alo, blo)
+    l01, h01 = _mul_wide_u32(alo, bhi)
+    l10, h10 = _mul_wide_u32(ahi, blo)
+    l11, h11 = _mul_wide_u32(ahi, bhi)
+    s1 = h00 + l01
+    c1 = (s1 < h00).astype(_U32)
+    r1 = s1 + l10
+    c1 = c1 + (r1 < s1).astype(_U32)
+    s2 = h01 + h10
+    c2 = (s2 < h01).astype(_U32)
+    s2b = s2 + l11
+    c2 = c2 + (s2b < s2).astype(_U32)
+    r2 = s2b + c1
+    c2 = c2 + (r2 < s2b).astype(_U32)
+    r3 = h11 + c2
+    return r2, r3
+
+
+def _add64(alo, ahi, blo, bhi):
+    lo = alo + blo
+    return lo, ahi + bhi + (lo < alo).astype(_U32)
+
+
+def _sub64(alo, ahi, blo, bhi):
+    lo = alo - blo
+    return lo, ahi - bhi - (alo < blo).astype(_U32)
+
+
+def _lt64(alo, ahi, blo, bhi):
+    return (ahi < bhi) | ((ahi == bhi) & (alo < blo))
+
+
+def _min64(alo, ahi, blo, bhi):
+    take = _lt64(alo, ahi, blo, bhi)
+    return jnp.where(take, alo, blo), jnp.where(take, ahi, bhi)
+
+
+def _shoup_lazy64(ylo, yhi, wlo, whi, plo, phi, qlo, qhi):
+    hlo, hhi = _mul_hi64(ylo, yhi, plo, phi)
+    wy_lo, wy_hi = _mul_lo64(wlo, whi, ylo, yhi)
+    qq_lo, qq_hi = _mul_lo64(qlo, qhi, hlo, hhi)
+    return _sub64(wy_lo, wy_hi, qq_lo, qq_hi)
+
+
+def _reduce_once64(xlo, xhi, qlo, qhi):
+    slo, shi = _sub64(xlo, xhi, qlo, qhi)
+    return _min64(xlo, xhi, slo, shi)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
+    n = 1 << log_n
+    q_lo = np.uint32(q & 0xFFFFFFFF)
+    q_hi = np.uint32((q >> 32) & 0xFFFFFFFF)
+    tq = 2 * q
+    tq_lo = np.uint32(tq & 0xFFFFFFFF)
+    tq_hi = np.uint32((tq >> 32) & 0xFFFFFFFF)
+
+    def kernel(wlo_ref, whi_ref, plo_ref, phi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
+        vlo = vlo_ref[:]
+        vhi = vhi_ref[:]
+        iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
+        qlo = jnp.full((1, 1), q_lo, _U32)
+        qhi = jnp.full((1, 1), q_hi, _U32)
+        tqlo = jnp.full((1, 1), tq_lo, _U32)
+        tqhi = jnp.full((1, 1), tq_hi, _U32)
+        for s in range(log_n):
+            t = n >> (s + 1)
+            is_x = (iota & t) == 0
+            wlo = wlo_ref[s, :][None]
+            whi = whi_ref[s, :][None]
+            plo = plo_ref[s, :][None]
+            phi = phi_ref[s, :][None]
+            r_lo_m = pltpu.roll(vlo, n - t, 1)  # v[p+t] (cyclic -t)
+            r_hi_m = pltpu.roll(vhi, n - t, 1)
+            r_lo_p = pltpu.roll(vlo, t, 1)  # v[p-t]
+            r_hi_p = pltpu.roll(vhi, t, 1)
+            xlo = jnp.where(is_x, vlo, r_lo_p)
+            xhi = jnp.where(is_x, vhi, r_hi_p)
+            ylo = jnp.where(is_x, r_lo_m, vlo)
+            yhi = jnp.where(is_x, r_hi_m, vhi)
+            txlo, txhi = _reduce_once64(xlo, xhi, tqlo, tqhi)
+            mlo, mhi = _shoup_lazy64(ylo, yhi, wlo, whi, plo, phi, qlo, qhi)
+            alo, ahi = _add64(txlo, txhi, mlo, mhi)  # x' = tx + m
+            s1lo, s1hi = _add64(txlo, txhi, tqlo, tqhi)
+            blo, bhi = _sub64(s1lo, s1hi, mlo, mhi)  # y' = tx + 2q - m
+            vlo = jnp.where(is_x, alo, blo)
+            vhi = jnp.where(is_x, ahi, bhi)
+        if out_factor == 1:
+            vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
+            vlo, vhi = _reduce_once64(vlo, vhi, qlo, qhi)
+        olo_ref[:] = vlo
+        ohi_ref[:] = vhi
+
+    return kernel
+
+
+def _make_inv_kernel(log_n: int, q: int, out_factor: int):
+    n = 1 << log_n
+    q_lo = np.uint32(q & 0xFFFFFFFF)
+    q_hi = np.uint32((q >> 32) & 0xFFFFFFFF)
+    tq = 2 * q
+    tq_lo = np.uint32(tq & 0xFFFFFFFF)
+    tq_hi = np.uint32((tq >> 32) & 0xFFFFFFFF)
+
+    def kernel(wlo_ref, whi_ref, plo_ref, phi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
+        vlo = vlo_ref[:]
+        vhi = vhi_ref[:]
+        iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
+        qlo = jnp.full((1, 1), q_lo, _U32)
+        qhi = jnp.full((1, 1), q_hi, _U32)
+        tqlo = jnp.full((1, 1), tq_lo, _U32)
+        tqhi = jnp.full((1, 1), tq_hi, _U32)
+        for s in range(log_n - 1):
+            t = 1 << s
+            is_x = (iota & t) == 0
+            wlo = wlo_ref[s, :][None]
+            whi = whi_ref[s, :][None]
+            plo = plo_ref[s, :][None]
+            phi = phi_ref[s, :][None]
+            r_lo_m = pltpu.roll(vlo, n - t, 1)
+            r_hi_m = pltpu.roll(vhi, n - t, 1)
+            r_lo_p = pltpu.roll(vlo, t, 1)
+            r_hi_p = pltpu.roll(vhi, t, 1)
+            xlo = jnp.where(is_x, vlo, r_lo_p)
+            xhi = jnp.where(is_x, vhi, r_hi_p)
+            ylo = jnp.where(is_x, r_lo_m, vlo)
+            yhi = jnp.where(is_x, r_hi_m, vhi)
+            slo, shi = _add64(xlo, xhi, ylo, yhi)
+            txlo, txhi = _reduce_once64(slo, shi, tqlo, tqhi)
+            d1lo, d1hi = _add64(xlo, xhi, tqlo, tqhi)
+            dlo, dhi = _sub64(d1lo, d1hi, ylo, yhi)
+            mlo, mhi = _shoup_lazy64(dlo, dhi, wlo, whi, plo, phi, qlo, qhi)
+            vlo = jnp.where(is_x, txlo, mlo)
+            vhi = jnp.where(is_x, txhi, mhi)
+        # final fused stage: pairs are (p, p + n/2); table row log_n-1 holds
+        # inv_n on the x half and inv_n_w on the y half.
+        half = n >> 1
+        s = log_n - 1
+        is_x = (iota & half) == 0
+        wlo = wlo_ref[s, :][None]
+        whi = whi_ref[s, :][None]
+        plo = plo_ref[s, :][None]
+        phi = phi_ref[s, :][None]
+        r_lo_m = pltpu.roll(vlo, n - half, 1)
+        r_hi_m = pltpu.roll(vhi, n - half, 1)
+        r_lo_p = pltpu.roll(vlo, half, 1)
+        r_hi_p = pltpu.roll(vhi, half, 1)
+        xlo = jnp.where(is_x, vlo, r_lo_p)
+        xhi = jnp.where(is_x, vhi, r_hi_p)
+        ylo = jnp.where(is_x, r_lo_m, vlo)
+        yhi = jnp.where(is_x, r_hi_m, vhi)
+        slo, shi = _add64(xlo, xhi, ylo, yhi)
+        txlo, txhi = _reduce_once64(slo, shi, tqlo, tqhi)
+        d1lo, d1hi = _add64(xlo, xhi, tqlo, tqhi)
+        dlo, dhi = _sub64(d1lo, d1hi, ylo, yhi)
+        # x half: tx * inv_n ; y half: (x + 2q - y) * inv_n_w — both lazy.
+        inlo = jnp.where(is_x, txlo, dlo)
+        inhi = jnp.where(is_x, txhi, dhi)
+        vlo, vhi = _shoup_lazy64(inlo, inhi, wlo, whi, plo, phi, qlo, qhi)
+        if out_factor == 1:
+            vlo, vhi = _reduce_once64(vlo, vhi, qlo, qhi)
+        olo_ref[:] = vlo
+        ohi_ref[:] = vhi
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def _call(plan: PallasNttPlan64, values: U64, kernel, tables, tile: int):
+    n = plan.n
+    vlo, vhi = values.lo, values.hi
+    batch_shape = vlo.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    vlo2 = vlo.reshape(b, n)
+    vhi2 = vhi.reshape(b, n)
+    tile = min(tile, b)
+    if b % tile != 0:
+        tile = 1
+    grid = (b // tile,)
+    w, p = tables
+    table_spec = pl.BlockSpec((plan.log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[table_spec] * 4 + [val_spec] * 2,
+        out_specs=[val_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n), jnp.uint32),
+            jax.ShapeDtypeStruct((b, n), jnp.uint32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(w.lo, w.hi, p.lo, p.hi, vlo2, vhi2)
+    return U64(out[0].reshape(*batch_shape, n), out[1].reshape(*batch_shape, n))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def pallas_forward64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, tile: int = 8) -> U64:
+    """Fused forward NTT; same contract as :func:`transforms.ntt.forward64`."""
+    kernel = _make_fwd_kernel(plan.log_n, plan.q, out_factor)
+    return _call(plan, values, kernel, (plan.fwd_w, plan.fwd_p), tile)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def pallas_inverse64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, tile: int = 8) -> U64:
+    """Fused inverse NTT; same contract as :func:`transforms.ntt.inverse64`."""
+    kernel = _make_inv_kernel(plan.log_n, plan.q, out_factor)
+    return _call(plan, values, kernel, (plan.inv_w, plan.inv_p), tile)

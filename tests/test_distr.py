@@ -1,0 +1,74 @@
+"""Sampler distribution tests (reference pattern: primus_distr stats)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from primus_fhe_tpu.distr import DiscreteGaussian, sample_binary, sample_ternary, sample_uniform
+from primus_fhe_tpu.distr.sampling import sample_crt_gaussian, sample_crt_ternary
+from primus_fhe_tpu.distr.stats import max_cdf_distance, sample_moments
+
+KEY = jax.random.PRNGKey(123)
+
+
+def test_binary():
+    s = np.asarray(sample_binary(KEY, (20000,)))
+    assert set(np.unique(s)) <= {0, 1}
+    assert abs(s.mean() - 0.5) < 0.02
+
+
+def test_ternary():
+    q = 536813569
+    s = np.asarray(sample_ternary(KEY, (20000,), q))
+    vals, counts = np.unique(s, return_counts=True)
+    assert set(vals) <= {0, 1, q - 1}
+    freq = dict(zip(vals.tolist(), (counts / len(s)).tolist()))
+    assert abs(freq.get(0, 0) - 0.5) < 0.02
+    assert abs(freq.get(1, 0) - 0.25) < 0.02
+    assert abs(freq.get(q - 1, 0) - 0.25) < 0.02
+
+
+def test_uniform():
+    q = 536813569
+    s = np.asarray(sample_uniform(KEY, (20000,), q)).astype(np.float64)
+    assert s.max() < q
+    assert abs(s.mean() / q - 0.5) < 0.02
+
+
+def test_gaussian_moments():
+    g = DiscreteGaussian(3.2)
+    s = np.asarray(g.sample_signed(KEY, (40000,)))
+    mean, var = sample_moments(s)
+    assert abs(mean) < 0.1
+    assert abs(var - 3.2**2) < 0.5
+    assert max_cdf_distance(s, 3.2, 20) < 0.02
+
+
+def test_gaussian_mod_wrap():
+    q = 536813569
+    g = DiscreteGaussian(3.2)
+    s = np.asarray(g.sample_mod(KEY, (1000,), q)).astype(np.int64)
+    centered = np.where(s > q // 2, s - q, s)
+    assert np.abs(centered).max() < 40
+
+
+def test_gaussian_scalar_shape():
+    g = DiscreteGaussian(3.2)
+    s = g.sample_signed(KEY, ())
+    assert s.shape == ()
+    t = g.sample_torus32(KEY, ())
+    assert t.shape == ()
+
+
+def test_crt_replicated():
+    moduli = jnp.asarray([536813569, 536608769], dtype=jnp.uint32)
+    g = DiscreteGaussian(3.2)
+    s = np.asarray(sample_crt_gaussian(KEY, (500,), moduli, g)).astype(np.int64)
+    # same logical value in every slot: centered residues must agree
+    c0 = np.where(s[0] > 536813569 // 2, s[0] - 536813569, s[0])
+    c1 = np.where(s[1] > 536608769 // 2, s[1] - 536608769, s[1])
+    assert (c0 == c1).all()
+    t = np.asarray(sample_crt_ternary(KEY, (500,), moduli)).astype(np.int64)
+    t0 = np.where(t[0] > 536813569 // 2, t[0] - 536813569, t[0])
+    t1 = np.where(t[1] > 536608769 // 2, t[1] - 536608769, t[1])
+    assert (t0 == t1).all()
