@@ -22,12 +22,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..modular.factor import factor_mul32, factor_mul64
-from ..modular.modops import dot32, dot64
+from ..modular.modops import dot32, dot64, mul32, sub32
 from ..modular.modulus import BarrettModulus32, BarrettModulus64
 from ..numeric.limb import U64, to_u64_pair
 from .base import RNSBase32, RNSBase64
 
 _U32 = jnp.uint32
+
+
+def _alpha_fixed32(y, fix: U64):
+    """``round(sum_i y_i / q_i)`` via 2^64 integer fixed point.
+
+    ``y``: (in_k, ...) canonical residues; ``fix``: U64 (in_k,) holding
+    ``floor(2^64 / q_i)``.  Replaces the reference's f64 aggregation
+    (converter.rs exact_convert_array) with deterministic integer math;
+    exact whenever the fractional part is at least ``k * 2^-34`` away from
+    1/2, which the calling contracts guarantee.
+    """
+    from ..numeric.limb import u64_mul_lo
+
+    in_k = y.shape[0]
+    nd = y.ndim - 1
+    fx = U64(
+        fix.lo.reshape((in_k,) + (1,) * nd), fix.hi.reshape((in_k,) + (1,) * nd)
+    )
+    prod = u64_mul_lo(U64(y, jnp.zeros_like(y)), fx)  # y*fix < 2^64 exact
+    acc_lo = jnp.zeros(y.shape[1:], dtype=_U32)
+    acc_hi = jnp.zeros(y.shape[1:], dtype=_U32)
+    overflow = jnp.zeros(y.shape[1:], dtype=_U32)
+    for i in range(in_k):
+        lo = acc_lo + prod.lo[i]
+        c1 = (lo < acc_lo).astype(_U32)
+        hi = acc_hi + prod.hi[i]
+        c2 = (hi < acc_hi).astype(_U32)
+        hi2 = hi + c1
+        c3 = (hi2 < hi).astype(_U32)
+        acc_lo, acc_hi = lo, hi2
+        overflow = overflow + c2 + c3
+    return overflow + (acc_hi >> 31)
 
 
 class BaseConverter32:
@@ -44,6 +76,18 @@ class BaseConverter32:
             dtype=np.uint32,
         )  # (out_k, in_k)
         self.matrix = jnp.asarray(matrix)
+        self.alpha_fix = to_u64_pair(
+            np.array(
+                [(1 << 64) // q for q in input_base.moduli_ints], dtype=np.uint64
+            )
+        )
+        # Q mod p_j for the alpha correction.
+        self.q_mod_out = jnp.asarray(
+            np.array(
+                [input_base.q_product % pj for pj in output_base.moduli_ints],
+                dtype=np.uint32,
+            )
+        )
 
     @functools.partial(jax.jit, static_argnums=0)
     def fast_convert(self, residues_in):
@@ -69,6 +113,43 @@ class BaseConverter32:
             ob.modulus,
         )
         return dot32(adj, mat, m)  # (out_k, ...)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def exact_convert(self, residues_in):
+        """Exact conversion (converter.rs ``exact_convert_array``).
+
+        Removes the fast-conversion ``alpha * Q`` slack by recovering
+        ``alpha = round(sum y_i / q_i)`` — integer fixed point instead of
+        the reference's f64 sum.  Valid when the represented value is not
+        within ``~k * Q * 2^-34`` of a multiple of ``Q/2`` (the same
+        proximity condition as the f64 path).  Like the reference, values
+        in the upper half of ``[0, Q)`` convert with *centered* semantics:
+        ``V`` near ``Q`` yields ``(V - Q) mod p`` (the rounding treats it
+        as the negative representative).  Output ``(out_k, ...)``.
+        """
+        ib, ob = self.input_base, self.output_base
+        in_k = ib.count
+        nd = residues_in.ndim - 1
+        q_in = ib.modulus.value.reshape((in_k,) + (1,) * nd)
+        f = jax.tree.map(
+            lambda x: x.reshape((in_k,) + (1,) * nd), ib.inv_punctured
+        )
+        adjusted = factor_mul32(residues_in, f, q_in)  # y_i, canonical
+        alpha = _alpha_fixed32(adjusted, self.alpha_fix)
+
+        adj = jnp.moveaxis(adjusted, 0, -1)[None]
+        mat = self.matrix.reshape((ob.count,) + (1,) * nd + (in_k,))
+        m = jax.tree.map(
+            lambda x: x.reshape((ob.count,) + (1,) * nd) if jnp.ndim(x) else x,
+            ob.modulus,
+        )
+        raw = dot32(adj, mat, m)  # sum y_i (Q/q_i) mod p_j
+        corr = mul32(
+            jnp.broadcast_to(alpha[None], raw.shape),
+            self.q_mod_out.reshape((ob.count,) + (1,) * nd),
+            m,
+        )
+        return sub32(raw, corr, m.value)
 
 
 class BaseConverter64:

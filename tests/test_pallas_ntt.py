@@ -1,0 +1,66 @@
+"""Pallas fused-NTT kernel differential tests (interpret mode on CPU).
+
+The kernel is the production TPU path; interpret mode executes the same
+program semantics on CPU, so bit-equality with the jnp reference here plus
+the on-TPU equality check in bench runs covers both worlds.
+"""
+
+import numpy as np
+import pytest
+
+from primus_fhe_tpu.numeric import from_u64_pair, to_u64_pair
+from primus_fhe_tpu.ops.ntt_pallas import (
+    PallasNttPlan64,
+    pallas_forward64,
+    pallas_inverse64,
+)
+from primus_fhe_tpu.transforms import build_plan64, forward64, inverse64
+
+Q = 1125899906826241
+rng = np.random.default_rng(0xABC)
+
+
+@pytest.mark.parametrize("log_n", [5, 8])
+def test_pallas_forward_matches_jnp(log_n):
+    n = 1 << log_n
+    pp = PallasNttPlan64(log_n, Q)
+    jp = build_plan64(log_n, Q)
+    data = to_u64_pair(rng.integers(0, Q, (4, n), dtype=np.uint64))
+    got = from_u64_pair(pallas_forward64(pp, data, 1, 4))
+    ref = from_u64_pair(forward64(jp, data))
+    assert (got == ref).all()
+
+
+def test_pallas_inverse_and_roundtrip():
+    log_n = 8
+    n = 1 << log_n
+    pp = PallasNttPlan64(log_n, Q)
+    jp = build_plan64(log_n, Q)
+    data = to_u64_pair(rng.integers(0, Q, (2, n), dtype=np.uint64))
+    fwd = forward64(jp, data)
+    got = from_u64_pair(pallas_inverse64(pp, fwd, 1, 2))
+    ref = from_u64_pair(inverse64(jp, fwd))
+    assert (got == ref).all()
+    back = from_u64_pair(pallas_inverse64(pp, pallas_forward64(pp, data, 1, 2), 1, 2))
+    assert (back == from_u64_pair(data)).all()
+
+
+def test_pallas_lazy_contract():
+    log_n = 6
+    pp = PallasNttPlan64(log_n, Q)
+    jp = build_plan64(log_n, Q)
+    data = to_u64_pair(rng.integers(0, Q, (2, 64), dtype=np.uint64))
+    lazy = from_u64_pair(pallas_forward64(pp, data, 4, 2))
+    strict = from_u64_pair(forward64(jp, data))
+    assert ((lazy.astype(object) % Q) == strict.astype(object)).all()
+    assert (lazy.astype(object) < 4 * Q).all()
+
+
+def test_pallas_odd_batch_fallback():
+    log_n = 6
+    pp = PallasNttPlan64(log_n, Q)
+    jp = build_plan64(log_n, Q)
+    data = to_u64_pair(rng.integers(0, Q, (3, 64), dtype=np.uint64))
+    got = from_u64_pair(pallas_forward64(pp, data, 1, 2))
+    ref = from_u64_pair(forward64(jp, data))
+    assert (got == ref).all()
