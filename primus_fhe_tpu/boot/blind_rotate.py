@@ -104,11 +104,13 @@ def make_bootstrap_key(key, lwe_secret, glwe_secret, basis, gaussian, conv):
 
     n_lwe = lwe_secret.shape[0]
     keys = jax.random.split(key, n_lwe)
-    rows = []
-    for i in range(n_lwe):
-        g = ggsw_encrypt_torus(keys[i], lwe_secret[i], glwe_secret, basis, gaussian, conv)
-        rows.append(ggsw_to_ntt(conv, g))
-    return jnp.stack(rows)
+    ggsw_all = jax.vmap(
+        lambda kk, s_i: ggsw_encrypt_torus(kk, s_i, glwe_secret, basis, gaussian, conv)
+    )(keys, lwe_secret)  # (n_lwe, k+1, L, k+1, N)
+    # forward-transform all rows at once; conv.forward maps (..., N) ->
+    # (kp, ..., N), so move the prime axis behind the BSK index.
+    f = conv.forward(ggsw_all)
+    return jnp.moveaxis(f, 0, 1)
 
 
 def test_polynomial(n: int, message_bits: int) -> np.ndarray:

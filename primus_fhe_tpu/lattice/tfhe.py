@@ -115,19 +115,21 @@ def ggsw_encrypt_torus(
 
     k, n = secret.shape
     level = basis.decompose_length
-    rows = []
     keys = jax.random.split(key, (k + 1) * level)
     mu_arr = jnp.asarray(mu, dtype=_U32)
     if mu_arr.ndim == 0:
         # scalar message = the constant polynomial mu (coefficient 0 only).
         mu_arr = jnp.zeros(n, dtype=_U32).at[0].set(mu_arr)
-    idx = 0
-    for r in range(k + 1):
-        for l in range(level):
-            z = generate_random_zero_sample_torus(keys[idx], secret, gaussian, conv)
-            idx += 1
-            scalar = _U32(basis.scalars[l] & 0xFFFFFFFF)
-            z = z.at[r].add(mu_arr * scalar)
-            rows.append(z)
-    out = jnp.stack(rows).reshape(k + 1, level, k + 1, n)
-    return out
+
+    # All (k+1)*level zero samples in one vmapped program.
+    zs = jax.vmap(
+        lambda kk: generate_random_zero_sample_torus(kk, secret, gaussian, conv)
+    )(keys).reshape(k + 1, level, k + 1, n)
+
+    # Gadget injection: row r, level l adds mu * B^l * 2^drop at component r.
+    scal = jnp.asarray(
+        np.array([s & 0xFFFFFFFF for s in basis.scalars], dtype=np.uint32)
+    )  # (level,)
+    contrib = mu_arr[None, :] * scal[:, None]  # (level, n)
+    eye = jnp.eye(k + 1, dtype=_U32)  # (row r, component j)
+    return zs + eye[:, None, :, None] * contrib[None, :, None, :]
