@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Secondary benchmark: batched TFHE gate-bootstrap throughput.
+
+Config-5 (BASELINE.json): the full blind-rotation pipeline — modulus
+switch, n_lwe CMux external products (exact CRT-NTT backend), sample
+extraction — over a batch of LWE ciphertexts on one chip.
+
+Prints one JSON line: bootstraps/s plus the parameter set.
+Not the driver headline (that is bench.py); run manually.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from primus_fhe_tpu.boot import blind_rotate, bootstrap, make_bootstrap_key
+    from primus_fhe_tpu.decompose import ApproxSignedBasis32
+    from primus_fhe_tpu.distr.sampling import DiscreteGaussian
+    from primus_fhe_tpu.lattice import tfhe
+
+    LOG_N, K, LB, LV = 10, 1, 8, 2
+    N = 1 << LOG_N
+    N_LWE = 512
+    BATCH = 16
+
+    basis = ApproxSignedBasis32(None, LB, reverse_length=LV)
+    conv = tfhe.make_convolver(LOG_N, LV, K, LB)
+    gauss = DiscreteGaussian(3.2)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lwe_secret = (jax.random.bits(k1, (N_LWE,), dtype=jnp.uint32) & 1).astype(jnp.uint32)
+    glwe_secret = (jax.random.bits(k2, (K, N), dtype=jnp.uint32) & 1).astype(jnp.uint32)
+
+    t0 = time.perf_counter()
+    bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gauss, conv)
+    jax.block_until_ready(bsk)
+    print(f"[bench_boot] bsk {bsk.shape} built in {time.perf_counter()-t0:.1f}s "
+          f"primes={conv.primes} pallas={conv.use_pallas}", file=sys.stderr)
+
+    test_poly = jnp.full(N, 1 << 28, dtype=jnp.uint32)
+    cts = jax.random.bits(k4, (BATCH, N_LWE + 1), dtype=jnp.uint32)
+
+    run = jax.jit(lambda c: bootstrap(conv, basis, bsk, c, test_poly, LOG_N))
+
+    t0 = time.perf_counter()
+    out = run(cts)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    # difference timing to cancel dispatch latency
+    t0 = time.perf_counter()
+    out = run(cts)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        out = run(cts)
+    jax.block_until_ready(out)
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0) * 0, (t2 - t1)) / reps
+    rate = BATCH / dt
+    print(f"[bench_boot] compile={compile_s:.1f}s step={dt*1e3:.1f}ms", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"batched gate bootstraps/s (N={N}, n_lwe={N_LWE}, L={LV}, B=2^{LB}, batch={BATCH})",
+                "value": rate,
+                "unit": "bootstraps/s",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,3 +51,17 @@ def add_torus(x, y):
 
 def sub_torus(x, y):
     return x - y
+
+
+def multi_msg_phase_torus32(lwe, secret, count: int):
+    """Phases of a multi-message LWE ``|a (n)|b (count)|`` mod 2^32.
+
+    Message ``j`` decrypts as ``b_j - <a, s_j-rotated>`` in the extracted
+    convention; for the common trivial case (messages packed at rotations
+    of one secret) callers supply the per-message secrets themselves — this
+    helper computes ``b_j - <a, s>`` with a shared secret, matching
+    ``MultiMsgLwe`` phase checks (multiple_message.rs:250-267).
+    """
+    n = secret.shape[-1]
+    dot = jnp.sum(lwe[..., :n] * secret, axis=-1, dtype=_U32)
+    return lwe[..., n : n + count] - dot[..., None]

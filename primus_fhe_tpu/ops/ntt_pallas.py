@@ -334,3 +334,168 @@ def pallas_inverse64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, ti
     """Fused inverse NTT; same contract as :func:`transforms.ntt.inverse64`."""
     kernel = _make_inv_kernel(plan.log_n, plan.q, out_factor)
     return _call(plan, values, kernel, (plan.inv_w, plan.inv_p), tile)
+
+
+# ===========================================================================
+# uint32 path (q < 2^30) — the torus-convolver / 30-bit-prime kernel
+# ===========================================================================
+
+
+class PallasNttPlan32:
+    """Expanded root tables for the fused u32 NTT kernel (q < 2^30)."""
+
+    def __init__(self, log_n: int, q: int):
+        if q >= 1 << 30:
+            raise ValueError("PallasNttPlan32 requires q < 2^30")
+        self.log_n = log_n
+        self.n = n = 1 << log_n
+        self.q = q
+        g = GoldenNtt(log_n, q)
+
+        def quot32(w):
+            return ((w << 32) // q) & 0xFFFFFFFF
+
+        p_idx = np.arange(n)
+        fwd_w = np.zeros((log_n, n), dtype=np.uint32)
+        fwd_p = np.zeros((log_n, n), dtype=np.uint32)
+        for s in range(log_n):
+            m = 1 << s
+            t = n >> (s + 1)
+            idx = m + p_idx // (2 * t)
+            fwd_w[s] = [g.roots[i] for i in idx]
+            fwd_p[s] = [quot32(g.roots[i]) for i in idx]
+
+        inv_w = np.zeros((log_n, n), dtype=np.uint32)
+        inv_p = np.zeros((log_n, n), dtype=np.uint32)
+        for s in range(log_n - 1):
+            t = 1 << s
+            start = 1 + n - (n >> s)
+            idx = start + p_idx // (2 * t)
+            inv_w[s] = [g.inv_roots[i] for i in idx]
+            inv_p[s] = [quot32(g.inv_roots[i]) for i in idx]
+        inv_w[log_n - 1, : n // 2] = g.inv_n
+        inv_w[log_n - 1, n // 2 :] = g.inv_n_w
+        inv_p[log_n - 1, : n // 2] = quot32(g.inv_n)
+        inv_p[log_n - 1, n // 2 :] = quot32(g.inv_n_w)
+
+        self.fwd_w = jnp.asarray(fwd_w)
+        self.fwd_p = jnp.asarray(fwd_p)
+        self.inv_w = jnp.asarray(inv_w)
+        self.inv_p = jnp.asarray(inv_p)
+
+
+def _mulhi_u32(a, b):
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    m1 = a1 * b0 + ((a0 * b0) >> 16)
+    m2 = a0 * b1 + (m1 & 0xFFFF)
+    return a1 * b1 + (m1 >> 16) + (m2 >> 16)
+
+
+def _make_fwd_kernel32(log_n: int, q: int, out_factor: int):
+    n = 1 << log_n
+    qc = np.uint32(q)
+    tqc = np.uint32(2 * q)
+
+    def kernel(w_ref, p_ref, v_ref, o_ref):
+        v = v_ref[:]
+        iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
+        for s in range(log_n):
+            t = n >> (s + 1)
+            is_x = (iota & t) == 0
+            w = w_ref[s, :][None]
+            wp = p_ref[s, :][None]
+            r_m = pltpu.roll(v, n - t, 1)  # v[p+t]
+            r_p = pltpu.roll(v, t, 1)  # v[p-t]
+            x = jnp.where(is_x, v, r_p)
+            y = jnp.where(is_x, r_m, v)
+            tx = jnp.where(x >= tqc, x - tqc, x)
+            mm = w * y - qc * _mulhi_u32(y, wp)
+            v = jnp.where(is_x, tx + mm, tx + tqc - mm)
+        if out_factor == 1:
+            v = jnp.where(v >= tqc, v - tqc, v)
+            v = jnp.where(v >= qc, v - qc, v)
+        o_ref[:] = v
+
+    return kernel
+
+
+def _make_inv_kernel32(log_n: int, q: int, out_factor: int):
+    n = 1 << log_n
+    qc = np.uint32(q)
+    tqc = np.uint32(2 * q)
+
+    def kernel(w_ref, p_ref, v_ref, o_ref):
+        v = v_ref[:]
+        iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
+        for s in range(log_n - 1):
+            t = 1 << s
+            is_x = (iota & t) == 0
+            w = w_ref[s, :][None]
+            wp = p_ref[s, :][None]
+            r_m = pltpu.roll(v, n - t, 1)
+            r_p = pltpu.roll(v, t, 1)
+            x = jnp.where(is_x, v, r_p)
+            y = jnp.where(is_x, r_m, v)
+            sxy = x + y
+            tx = jnp.where(sxy >= tqc, sxy - tqc, sxy)
+            d = x + tqc - y
+            mm = w * d - qc * _mulhi_u32(d, wp)
+            v = jnp.where(is_x, tx, mm)
+        half = n >> 1
+        s = log_n - 1
+        is_x = (iota & half) == 0
+        w = w_ref[s, :][None]
+        wp = p_ref[s, :][None]
+        r_m = pltpu.roll(v, n - half, 1)
+        r_p = pltpu.roll(v, half, 1)
+        x = jnp.where(is_x, v, r_p)
+        y = jnp.where(is_x, r_m, v)
+        sxy = x + y
+        tx = jnp.where(sxy >= tqc, sxy - tqc, sxy)
+        d = x + tqc - y
+        inp = jnp.where(is_x, tx, d)
+        v = w * inp - qc * _mulhi_u32(inp, wp)
+        if out_factor == 1:
+            v = jnp.where(v >= qc, v - qc, v)
+        o_ref[:] = v
+
+    return kernel
+
+
+def _call32(plan, values, make_kernel, tables, out_factor, tile):
+    n = plan.n
+    batch_shape = values.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    v2 = values.reshape(b, n)
+    tile = min(tile, b)
+    if b % tile != 0:
+        tile = 1
+    grid = (b // tile,)
+    w, p = tables
+    table_spec = pl.BlockSpec((plan.log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = make_kernel(plan.log_n, plan.q, out_factor)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[table_spec] * 2 + [val_spec],
+        out_specs=val_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.uint32),
+        interpret=jax.default_backend() != "tpu",
+    )(w, p, v2)
+    return out.reshape(*batch_shape, n)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def pallas_forward32(plan: PallasNttPlan32, values, out_factor: int = 1, tile: int = 16):
+    """Fused forward NTT (u32); contract of :func:`transforms.ntt.forward32`."""
+    return _call32(plan, values, _make_fwd_kernel32, (plan.fwd_w, plan.fwd_p), out_factor, tile)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def pallas_inverse32(plan: PallasNttPlan32, values, out_factor: int = 1, tile: int = 16):
+    """Fused inverse NTT (u32); contract of :func:`transforms.ntt.inverse32`."""
+    return _call32(plan, values, _make_inv_kernel32, (plan.inv_w, plan.inv_p), out_factor, tile)

@@ -52,9 +52,14 @@ _U32 = jnp.uint32
 
 
 class TorusConvolver32:
-    """Exact negacyclic convolver for the 2^32 torus (u32 values)."""
+    """Exact negacyclic convolver for the 2^32 torus (u32 values).
 
-    def __init__(self, log_n: int, bound_bits: int = 56):
+    ``use_pallas=None`` auto-selects the fused Pallas NTT kernels on TPU
+    (per-prime VMEM-resident transforms); elsewhere the XLA-staged DCRT
+    path runs.
+    """
+
+    def __init__(self, log_n: int, bound_bits: int = 56, use_pallas: bool | None = None):
         self.log_n = log_n
         self.n = 1 << log_n
         # Pick 30-bit NTT primes until the product covers bound + 3 margin.
@@ -71,6 +76,13 @@ class TorusConvolver32:
         self.count = k = len(primes)
 
         self.plan = build_dcrt_plan32(log_n, primes)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and self.n >= 256
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ..ops.ntt_pallas import PallasNttPlan32
+
+            self.pallas_plans = [PallasNttPlan32(log_n, p) for p in primes]
         self.modulus = barrett32(np.array(primes, dtype=np.uint64))  # (k,)
 
         # centered-lift correction: 2^32 mod p_i
@@ -120,7 +132,16 @@ class TorusConvolver32:
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def forward(self, x, out_factor: int = 1):
         """Torus poly ``(..., n)`` -> NTT-domain residues ``(k, ..., n)``."""
-        return dcrt_forward32(self.plan, self.lift(x), out_factor)
+        lifted = self.lift(x)
+        if self.use_pallas:
+            from ..ops.ntt_pallas import pallas_forward32
+
+            outs = [
+                pallas_forward32(p, lifted[i], out_factor)
+                for i, p in enumerate(self.pallas_plans)
+            ]
+            return jnp.stack(outs)
+        return dcrt_forward32(self.plan, lifted, out_factor)
 
     def mul(self, fa, fb, extra: int):
         """Pointwise canonical product of NTT-domain residue tensors."""
@@ -139,6 +160,13 @@ class TorusConvolver32:
     @functools.partial(jax.jit, static_argnums=0)
     def inverse(self, res):
         """NTT-domain residues -> coefficient-domain residues, canonical."""
+        if self.use_pallas:
+            from ..ops.ntt_pallas import pallas_inverse32
+
+            outs = [
+                pallas_inverse32(p, res[i]) for i, p in enumerate(self.pallas_plans)
+            ]
+            return jnp.stack(outs)
         return dcrt_inverse32(self.plan, res)
 
     @functools.partial(jax.jit, static_argnums=0)
