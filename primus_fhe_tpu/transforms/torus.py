@@ -218,3 +218,149 @@ class TorusConvolver32:
         extra = fa.ndim - 1
         prod = self.mul(fa, fb, extra)
         return self.recombine(self.inverse(prod))
+
+
+class TorusConvolver64:
+    """Exact negacyclic convolver for the 2^64 torus (U64 values).
+
+    The reference's f64 FFT path silently loses precision above 2^53
+    (torus.rs:46); this convolver is exact for the full 64-bit torus:
+    centered lift into 30-bit NTT primes, per-prime NTTs, and an
+    all-integer CRT recombination (alpha in 2^64 fixed point).
+    ``bound_bits`` must bound |centered accumulator| (e.g.
+    ``63 + log2(n * level * (k+1) * B/2)`` for an external product).
+    """
+
+    def __init__(self, log_n: int, bound_bits: int = 88, use_pallas: bool | None = None):
+        self.log_n = log_n
+        self.n = 1 << log_n
+        primes: list[int] = []
+        below = None
+        prod = 1
+        while prod.bit_length() <= bound_bits + 3:
+            p = next_ntt_prime(30, log_n, below)
+            primes.append(p)
+            below = p
+            prod *= p
+        self.primes = primes
+        self.product = prod
+        self.count = k = len(primes)
+
+        self.plan = build_dcrt_plan32(log_n, primes)
+        self.modulus = barrett32(np.array(primes, dtype=np.uint64))
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and self.n >= 256
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ..ops.ntt_pallas import PallasNttPlan32
+
+            self.pallas_plans = [PallasNttPlan32(log_n, p) for p in primes]
+
+        # centered-lift tables: 2^32 mod p and 2^64 mod p
+        self.c32 = jnp.asarray(np.array([(1 << 32) % p for p in primes], dtype=np.uint32))
+        self.c64 = jnp.asarray(np.array([(1 << 64) % p for p in primes], dtype=np.uint32))
+        punctured = [prod // p for p in primes]
+        self.inv_punctured = shoup32(
+            np.array([mod_inv(pp % p, p) for pp, p in zip(punctured, primes)], dtype=np.uint64),
+            np.array(primes, dtype=np.uint64),
+        )
+        # (P/p_i) mod 2^64 and P mod 2^64 as U64 for wrapping recombination
+        self.punctured_mod_t = to_u64_pair(
+            np.array([pp % (1 << 64) for pp in punctured], dtype=np.uint64)
+        )
+        self.product_mod_t = to_u64_pair(np.uint64(prod % (1 << 64)))
+        self.alpha_fix = to_u64_pair(
+            np.array([(1 << 64) // p for p in primes], dtype=np.uint64)
+        )
+
+    def _m(self, extra: int):
+        shape = (self.count,) + (1,) * extra
+        return jax.tree.map(lambda x: x.reshape(shape), self.modulus)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def lift(self, x: U64):
+        """Centered lift: torus U64 ``(..., n)`` -> residues ``(k, ..., n)``.
+
+        ``value = lo + hi*2^32 - 2^64*[hi >= 2^31]``; per prime:
+        ``r = lo + hi*c32 - sign*c64 (mod p)`` via one Barrett pass.
+        """
+        k = self.count
+        nd = x.lo.ndim
+        m = self._m(nd)
+        lo = x.lo[None]
+        hi = x.hi[None]
+        # lo mod p in [0,2p): barrett lazy; hi*c32: widening mul then wide reduce
+        r_lo = reduce_once32(barrett_lazy_reduce32(lo, m), m.value)
+        r_hi = reduce_once32(barrett_lazy_reduce32(hi, m), m.value)
+        c32 = self.c32.reshape((k,) + (1,) * nd)
+        c64 = self.c64.reshape((k,) + (1,) * nd)
+        hi_term = mul32(r_hi, c32, m)
+        r = add32(r_lo, hi_term, m.value)
+        neg = (hi >> 31) != 0
+        return jnp.where(neg, sub32(r, c64, m.value), r)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def forward(self, x: U64, out_factor: int = 1):
+        lifted = self.lift(x)
+        if self.use_pallas:
+            from ..ops.ntt_pallas import pallas_forward32
+
+            return jnp.stack(
+                [
+                    pallas_forward32(p, lifted[i], out_factor)
+                    for i, p in enumerate(self.pallas_plans)
+                ]
+            )
+        return dcrt_forward32(self.plan, lifted, out_factor)
+
+    def mul(self, fa, fb, extra: int):
+        return mul32(fa, fb, self._m(extra))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def inverse(self, res):
+        if self.use_pallas:
+            from ..ops.ntt_pallas import pallas_inverse32
+
+            return jnp.stack(
+                [pallas_inverse32(p, res[i]) for i, p in enumerate(self.pallas_plans)]
+            )
+        return dcrt_inverse32(self.plan, res)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def recombine(self, res) -> U64:
+        """Coefficient residues ``(k, ..., n)`` -> torus U64 ``(..., n)``."""
+        from ..numeric.limb import u64_add, u64_mul_lo, u64_sub
+
+        k = self.count
+        nd = res.ndim - 1
+        q = self.modulus.value.reshape((k,) + (1,) * nd)
+        f = jax.tree.map(lambda x: x.reshape((k,) + (1,) * nd), self.inv_punctured)
+        y = factor_mul32(res, f, q)
+
+        from ..rns.converter import _alpha_fixed32
+
+        alpha = _alpha_fixed32(y, self.alpha_fix)
+
+        u = jax.tree.map(
+            lambda x: x.reshape((k,) + (1,) * nd), self.punctured_mod_t
+        )
+        total = U64(jnp.zeros(res.shape[1:], _U32), jnp.zeros(res.shape[1:], _U32))
+        for i in range(k):
+            yi = U64(y[i], jnp.zeros_like(y[i]))
+            ui = U64(u.lo[i], u.hi[i])
+            total = u64_add(total, u64_mul_lo(yi, ui))
+        alpha64 = U64(alpha, jnp.zeros_like(alpha))
+        pm = U64(
+            jnp.broadcast_to(self.product_mod_t.lo, alpha.shape),
+            jnp.broadcast_to(self.product_mod_t.hi, alpha.shape),
+        )
+        return u64_sub(total, u64_mul_lo(alpha64, pm))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def negacyclic_mul(self, a: U64, b: U64) -> U64:
+        """Exact ``a * b`` in ``Z_{2^64}[X]/(X^n+1)``."""
+        fa = self.forward(a)
+        fb = self.forward(b)
+        extra = fa.ndim - 1
+        prod = self.mul(fa, fb, extra)
+        return self.recombine(self.inverse(prod))
