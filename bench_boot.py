@@ -28,7 +28,8 @@ def main():
     LOG_N, K, LB, LV = 10, 1, 8, 2
     N = 1 << LOG_N
     N_LWE = 512
-    BATCH = 16
+    import os
+    BATCH = int(os.environ.get('BOOT_BATCH', 16))
 
     basis = ApproxSignedBasis32(None, LB, reverse_length=LV)
     conv = tfhe.make_convolver(LOG_N, LV, K, LB)

@@ -45,19 +45,24 @@ def _rotate_glwe(glwe, degree, n: int):
 
     ``degree`` broadcasts against ``glwe.shape[:-1]`` (scalar, or per-batch
     with trailing 1-axes added by the caller).
+
+    Implemented as a chain of *conditional static negacyclic shifts*, one
+    per bit of ``degree mod 2N`` — static slices + selects, which TPUs
+    execute as cheap vector copies, instead of a minor-axis gather (slow
+    scalar loop on TPU).  ``X^N = -1`` makes the top bit a plain negation.
     """
-    k = jnp.arange(n, dtype=jnp.int32)
-    kd = (k - jnp.asarray(degree, jnp.int32)[..., None]) % (2 * n)
-    idx = kd & (n - 1)
-    neg = kd >= n
-    if idx.ndim == 1:
-        g = glwe[..., idx]
-    else:
-        shape = jnp.broadcast_shapes(glwe.shape, idx.shape)
-        idx_b = jnp.broadcast_to(idx, shape)
-        g = jnp.take_along_axis(jnp.broadcast_to(glwe, shape), idx_b, axis=-1)
-        neg = jnp.broadcast_to(neg, shape)
-    return jnp.where(neg, jnp.zeros_like(g) - g, g)
+    d = jnp.asarray(degree, jnp.int32) % (2 * n)
+    v = glwe
+    for b in range(n.bit_length()):  # bits 0 .. log2(n)
+        k = 1 << b
+        if k == n:
+            rolled = jnp.zeros_like(v) - v  # X^n = -1
+        else:
+            head = jnp.zeros_like(v[..., n - k :]) - v[..., n - k :]
+            rolled = jnp.concatenate([head, v[..., : n - k]], axis=-1)
+        take = ((d >> b) & 1)[..., None] == 1
+        v = jnp.where(take, rolled, v)
+    return v
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -24,7 +24,12 @@ import numpy as np
 
 from ..decompose.primitive import ApproxSignedBasis32
 from ..distr.sampling import DiscreteGaussian
-from ..modular.modops import reduce_once32, sum_mod32, lazy_mul32
+from ..modular.modops import (
+    barrett_lazy_reduce32 as modops_barrett_lazy_reduce32,
+    lazy_mul32,
+    reduce_once32,
+    sum_mod32,
+)
 from ..transforms.torus import TorusConvolver32
 
 _U32 = jnp.uint32
@@ -78,16 +83,36 @@ def external_product(
 
     # 3. multiply-accumulate over (input component, level):
     #    acc[kp, B..., j, N] = sum_{r,l} f[kp,B..,r,l,N] * key[kp,r,l,j,N]
+    # Unrolled with wrap-exact raw u32 accumulation: canonical terms are
+    # < p < 2^30, so up to 4 of them sum exactly in uint32 before a single
+    # Barrett pass — far cheaper than generic split-limb reduction and
+    # free of the relayouts a transpose-based contraction would cost.
     key_b = key_ntt.reshape((kp,) + (1,) * len(batch) + (k1, level, k1, n))
-    fe = f[..., :, :, None, :]  # (kp, B..., r, l, 1, N)
-    m_prod = conv._m(fe.ndim - 1)
-    t = lazy_mul32(fe, key_b, m_prod)
-    t = reduce_once32(t, m_prod.value)  # canonical terms
-    # sum over r and l (axes -4, -3): move to trailing and exact-reduce.
-    t = jnp.moveaxis(t, (-4, -3), (-2, -1))  # (kp, B..., j, N, r, l)
-    t = t.reshape(t.shape[:-2] + (-1,))
-    m_out = conv._m(t.ndim - 2)
-    acc = sum_mod32(t, m_out, axis=-1)  # (kp, B..., k+1, N)
+    # t has shape (kp, B..., j, N): rank 1 + len(batch) + 2, so the modulus
+    # record broadcasts with len(batch) + 2 trailing singleton axes.
+    m_x = conv._m(len(batch) + 2)
+    assert max(conv.primes) < 1 << 30
+    cap = 4
+    acc = None
+    pending = 0
+    for r in range(k1):
+        for l in range(level):
+            t = lazy_mul32(
+                f[..., r, l, None, :], key_b[..., r, l, :, :], m_x
+            )
+            t = reduce_once32(t, m_x.value)  # canonical [0, p)
+            if acc is None:
+                acc = t
+                pending = 1
+            else:
+                if pending == cap:
+                    acc = reduce_once32(
+                        modops_barrett_lazy_reduce32(acc, m_x), m_x.value
+                    )
+                    pending = 1
+                acc = acc + t  # raw u32, exact while pending < cap
+                pending += 1
+    acc = reduce_once32(modops_barrett_lazy_reduce32(acc, m_x), m_x.value)
 
     # 4. inverse transform + CRT recombine back to the torus.
     return conv.recombine(conv.inverse(acc))
