@@ -137,3 +137,29 @@ def bootstrap(conv, basis, bsk_ntt, lwe_ct, test_poly, log_n: int):
     # extract from the (body, mask...) GLWE: treat k=1 GLWE as RLWE
     rlwe = acc  # (..., k+1, N) with k=1: [a, b]
     return extract_lwe_torus32(rlwe)
+
+
+def lut_test_polynomial(values, log_n: int, message_bits: int):
+    """Programmable-bootstrap test vector for an arbitrary lookup table.
+
+    ``values``: (2^message_bits,) torus-encoded outputs ``f(m)``.  Encodes
+    the negacyclic step function so that blind rotation by a phase in
+    message bucket ``m`` lands ``f(m)`` on coefficient 0 (standard PBS
+    encoding; buckets span the lower torus half, the upper half returns
+    the negated table — callers usually reserve one message bit for sign
+    or use the padding-bit convention).
+    """
+    import numpy as np
+
+    n = 1 << log_n
+    values = np.asarray(values, dtype=np.uint32)
+    m_count = values.shape[0]
+    reps = n // m_count
+    if reps * m_count != n:
+        raise ValueError("2^message_bits must divide N")
+    # bucket m covers rotations [m*reps - reps/2, m*reps + reps/2): shift
+    # by half a bucket so rounding is centered.
+    tp = np.repeat(values, reps)
+    tp = np.roll(tp, -(reps // 2))
+    tp[-(reps // 2):] = (-tp[-(reps // 2):].astype(np.int64) % (1 << 32)).astype(np.uint32)
+    return jnp.asarray(tp)

@@ -166,6 +166,23 @@ class BaseConverter64:
             dtype=np.uint64,
         )
         self.matrix = to_u64_pair(matrix)  # (out_k, in_k)
+        # alpha fixed point at 2^96: floor(2^96 / q_i) fits u64 iff
+        # q_i >= 2^32; exact_convert requires it (typical DCRT moduli are
+        # 40-60 bits).
+        self._exact_ok = all(q >= 1 << 32 for q in input_base.moduli_ints)
+        if self._exact_ok:
+            self.alpha_fix96 = to_u64_pair(
+                np.array(
+                    [(1 << 96) // q for q in input_base.moduli_ints],
+                    dtype=np.uint64,
+                )
+            )
+        self.q_mod_out = to_u64_pair(
+            np.array(
+                [input_base.q_product % pj for pj in output_base.moduli_ints],
+                dtype=np.uint64,
+            )
+        )
 
     @functools.partial(jax.jit, static_argnums=0)
     def fast_convert(self, residues_in: U64) -> U64:
@@ -189,3 +206,59 @@ class BaseConverter64:
         mat = r(self.matrix, (ob.count,) + (1,) * nd + (in_k,))
         m = r(ob.modulus, (ob.count,) + (1,) * nd)
         return dot64(adj, mat, m)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def exact_convert(self, residues_in: U64) -> U64:
+        """Exact conversion (U64 path): removes the ``alpha * Q`` slack.
+
+        ``alpha = round(sum y_i / q_i)`` in 2^96 integer fixed point
+        (per-term error < 2^-34; same centered-near-Q semantics as the
+        32-bit variant).
+        """
+        from ..modular.modops import mul64, sub64
+        from ..numeric.limb import u64_add, u64_mul_wide
+
+        if not self._exact_ok:
+            raise ValueError("exact_convert requires all input moduli >= 2^32")
+        ib, ob = self.input_base, self.output_base
+        in_k = ib.count
+        nd = residues_in.lo.ndim - 1
+
+        def r(tree, shape):
+            return jax.tree.map(
+                lambda x: x.reshape(shape) if jnp.ndim(x) else x, tree
+            )
+
+        q_in = r(ib.modulus.value, (in_k,) + (1,) * nd)
+        f = r(ib.inv_punctured, (in_k,) + (1,) * nd)
+        y = factor_mul64(residues_in, f, q_in)  # canonical (in_k, ...)
+
+        # alpha: 128-bit accumulate of y_i * floor(2^96/q_i), round at 2^96.
+        fx = r(self.alpha_fix96, (in_k,) + (1,) * nd)
+        batch = residues_in.lo.shape[1:]
+        acc_lo = U64(jnp.zeros(batch, _U32), jnp.zeros(batch, _U32))
+        acc_hi = U64(jnp.zeros(batch, _U32), jnp.zeros(batch, _U32))
+        for i in range(in_k):
+            yi = U64(y.lo[i], y.hi[i])
+            fi = U64(fx.lo[i], fx.hi[i])
+            plo, phi = u64_mul_wide(yi, fi)
+            new_lo = u64_add(acc_lo, plo)
+            carry = ( (new_lo.hi < acc_lo.hi) | ((new_lo.hi == acc_lo.hi) & (new_lo.lo < acc_lo.lo)) ).astype(_U32)
+            acc_lo = new_lo
+            acc_hi = u64_add(u64_add(acc_hi, phi), U64(carry, jnp.zeros_like(carry)))
+        # alpha = round(acc / 2^96) = acc_hi.hi + round bit of acc_hi.lo
+        alpha = acc_hi.hi + (acc_hi.lo >> 31)
+
+        adj = U64(
+            jnp.moveaxis(y.lo, 0, -1)[None], jnp.moveaxis(y.hi, 0, -1)[None]
+        )
+        mat = r(self.matrix, (ob.count,) + (1,) * nd + (in_k,))
+        m = r(ob.modulus, (ob.count,) + (1,) * nd)
+        raw = dot64(adj, mat, m)
+        alpha64 = U64(jnp.broadcast_to(alpha[None], raw.lo.shape), jnp.zeros_like(raw.lo))
+        qm = r(self.q_mod_out, (ob.count,) + (1,) * nd)
+        qmb = U64(
+            jnp.broadcast_to(qm.lo, raw.lo.shape), jnp.broadcast_to(qm.hi, raw.hi.shape)
+        )
+        corr = mul64(alpha64, qmb, m)
+        return sub64(raw, corr, m.value)

@@ -108,3 +108,22 @@ def test_bootstrap_batched(setup):
     assert abs(phs[0] - DELTA) < DELTA // 2
     assert abs(phs[1] + DELTA) < DELTA // 2
     assert abs(phs[2] - DELTA) < DELTA // 2
+
+
+def test_programmable_bootstrap_lut(setup):
+    """PBS: bootstrap with an arbitrary LUT evaluates f(m) homomorphically."""
+    from primus_fhe_tpu.boot.blind_rotate import lut_test_polynomial
+    from primus_fhe_tpu.lattice.lwe import phase_torus32
+
+    basis, conv, gauss, lwe_secret, glwe_secret, bsk, _ = setup
+    flat_secret = glwe_secret.reshape(-1)
+    message_bits = 2  # messages 0..3 in the lower torus half
+    delta = 1 << 29  # bucket size: 2^32 / 2^(bits+1)
+    table = np.array([(7 - 2 * m) * (1 << 26) for m in range(4)], dtype=np.uint32)
+    tp = lut_test_polynomial(table, LOG_N, message_bits)
+    for m in range(3):  # stay inside the lower half (no sign wrap)
+        ct = _trivial_lwe(m * delta)
+        out = bootstrap(conv, basis, bsk, ct, tp, LOG_N)
+        ph = _centered(phase_torus32(out, flat_secret))
+        expect = _centered(np.asarray(table[m], dtype=np.uint32))
+        assert abs(int(ph) - int(expect)) < 1 << 24, (m, ph, expect)

@@ -56,3 +56,22 @@ def test_exact_vs_fast_slack():
         assert int(e) == v % p
         # fast result is exact + alpha*Q for some alpha in [0, k)
         assert any((int(e) + a * Q) % p == int(f) for a in range(k))
+
+
+def test_exact_convert64():
+    from primus_fhe_tpu.numeric import from_u64_pair, to_u64_pair
+    from primus_fhe_tpu.rns import BaseConverter64, RNSBase64
+
+    mod_in = [1125899906826241, 1125899906629633]
+    mod_out = [1152921504606830593]
+    in_base = RNSBase64(mod_in)
+    out_base = RNSBase64(mod_out)
+    conv = BaseConverter64(in_base, out_base)
+    Q = in_base.q_product
+    p = mod_out[0]
+    vals = [rng.randrange(Q // 16, 7 * Q // 16) for _ in range(32)]
+    arr = to_u64_pair(
+        np.array([[v % q for v in vals] for q in mod_in], dtype=np.uint64)
+    )
+    out = from_u64_pair(conv.exact_convert(arr))[0]
+    assert out.astype(object).tolist() == [v % p for v in vals]
