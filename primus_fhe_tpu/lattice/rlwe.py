@@ -107,3 +107,10 @@ def extract_lwe_torus32(rlwe):
     b = rlwe[..., 1, :]
     tail = jnp.zeros_like(a[..., 1:]) - a[..., 1:][..., ::-1]
     return jnp.concatenate([a[..., :1], tail, b[..., :1]], axis=-1)
+
+
+def mul_ntt_polynomial32(rlwe, ntt_poly, plan: NttPlan32, m):
+    """``NTT(self) * ntt_poly`` per component (coeff.rs:168-190) — returns
+    the NTT-domain RLWE."""
+    f = forward32(plan, rlwe)
+    return modops.mul32(f, ntt_poly, m)

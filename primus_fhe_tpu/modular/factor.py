@@ -103,3 +103,18 @@ def factor_mul64(y: U64, factor: ShoupFactor64, q: U64) -> U64:
 
     r = factor_mul_lazy64(y, factor, q)
     return u64_min(r, u64_sub(r, q))
+
+
+class MultiplyFactor32(NamedTuple):
+    """Generic precomputed multiplier (``primus_factor::MultiplyFactor``,
+    ``src/mul_factor/mod.rs``): identical storage to :class:`ShoupFactor32`
+    but without the ``q < 2^31`` canonical-result contract — callers manage
+    the output range themselves via :func:`factor_mul_lazy32`."""
+
+    value: jnp.ndarray
+    quotient: jnp.ndarray
+
+
+def multiply_factor32(w, q) -> MultiplyFactor32:
+    f = shoup32(w, q)
+    return MultiplyFactor32(f.value, f.quotient)

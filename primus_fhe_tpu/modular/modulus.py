@@ -105,3 +105,47 @@ def barrett64(q) -> BarrettModulus64:
     if scalar:
         arr, r0, r1 = arr[0], r0[0], r1[0]
     return BarrettModulus64(to_u64_pair(arr), to_u64_pair(r0), to_u64_pair(r1))
+
+
+class CompactModulus32(NamedTuple):
+    """Add/sub-only modulus ``q < 2^30`` (``src/compact/mod.rs:11-49``).
+
+    Carries no Barrett ratio — use with the compare-subtract ops
+    (:func:`~primus_fhe_tpu.modular.modops.add32` etc.) only.
+    """
+
+    value: jnp.ndarray
+
+
+class CompactModulus64(NamedTuple):
+    """Add/sub-only modulus ``q < 2^62`` (U64)."""
+
+    value: U64
+
+
+class UintModulus32(NamedTuple):
+    """Compare-subtract fallback modulus, any ``q < 2^31``
+    (``src/uint/mod.rs:11-43``); multiplication callers should prefer
+    :class:`BarrettModulus32`."""
+
+    value: jnp.ndarray
+
+
+class UintModulus64(NamedTuple):
+    """Compare-subtract fallback modulus, any ``q < 2^63`` (U64)."""
+
+    value: U64
+
+
+def compact32(q) -> CompactModulus32:
+    qs = np.asarray(q, dtype=np.uint64)
+    if np.any(qs >= 1 << 30):
+        raise ValueError("CompactModulus32 requires q < 2^30")
+    return CompactModulus32(jnp.asarray(qs.astype(np.uint32)))
+
+
+def uint32_modulus(q) -> UintModulus32:
+    qs = np.asarray(q, dtype=np.uint64)
+    if np.any(qs >= 1 << 31):
+        raise ValueError("UintModulus32 requires q < 2^31")
+    return UintModulus32(jnp.asarray(qs.astype(np.uint32)))

@@ -91,3 +91,21 @@ def poly_mul_monomial64(a: U64, degree, q: U64) -> U64:
     idx, neg = _rot_index(n, degree)
     g = U64(a.lo[..., idx], a.hi[..., idx])
     return u64_select(neg, modops.neg64(g, q), g)
+
+
+def poly_naive_mul32(a, b, m):
+    """O(n^2) negacyclic product on device (``naive_mul``, poly/mul.rs).
+
+    The model-based oracle for kernel tests: accumulates ``a_d * (b
+    rotated by d)`` with exact modular sums; n iterations of vector work.
+    """
+    n = a.shape[-1]
+    acc = jnp.zeros(jnp.broadcast_shapes(a.shape, b.shape), dtype=_U32)
+    rot = b
+    for d in range(n):
+        term = modops.mul32(jnp.broadcast_to(a[..., d : d + 1], rot.shape), rot, m)
+        acc = modops.add32(acc, term, m.value)
+        # multiply rot by X: shift with negacyclic wrap
+        head = modops.neg32(rot[..., -1:], m.value)
+        rot = jnp.concatenate([head, rot[..., :-1]], axis=-1)
+    return acc
