@@ -1,0 +1,158 @@
+"""Named parameter sets and turnkey context construction.
+
+The reference's "config system" is Cargo features plus caller-supplied
+numbers (SURVEY.md §5); here a typed parameter record plays that role —
+one object carries every dimension/modulus/basis choice, and
+:func:`make_context` builds all plans, keys, and tables from it.
+
+The shipped sets follow standard TFHE-style parameterizations (the
+reference publishes none).  ``TOY`` is for tests/demos; ``BOOLEAN_128``
+mirrors the classic 128-bit-security TFHE boolean profile (lwe dimension
+630, N=1024) — security ultimately depends on the noise/dimension choices
+the deployment makes, and should be re-validated with a lattice estimator
+before production use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TfheParams:
+    """TFHE-style torus-2^32 parameter set."""
+
+    log_n: int  # GLWE polynomial degree (N = 2^log_n)
+    glwe_dim: int  # k (mask polynomial count)
+    lwe_dim: int  # n_lwe
+    log_basis: int  # gadget basis B = 2^log_basis (bootstrap key)
+    level: int  # gadget levels (bootstrap key)
+    ks_log_basis: int  # key-switch basis
+    ks_level: int  # key-switch levels
+    lwe_sigma: float  # LWE noise stddev (torus-2^32 units)
+    glwe_sigma: float  # GLWE noise stddev
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+
+TOY = TfheParams(
+    log_n=5, glwe_dim=1, lwe_dim=8,
+    log_basis=8, level=3, ks_log_basis=8, ks_level=3,
+    lwe_sigma=3.2, glwe_sigma=3.2,
+)
+
+BOOLEAN_128 = TfheParams(
+    log_n=10, glwe_dim=1, lwe_dim=630,
+    log_basis=7, level=3, ks_log_basis=4, ks_level=5,
+    lwe_sigma=2.0e22 / (1 << 32),  # illustrative; validate with an estimator
+    glwe_sigma=9.6,
+)
+
+
+@dataclasses.dataclass
+class TfheContext:
+    """Everything needed to evaluate: keys, plans, bases, convolver."""
+
+    params: TfheParams
+    basis: Any
+    ks_basis: Any
+    conv: Any
+    gaussian: Any
+    lwe_secret: Any
+    glwe_secret: Any
+    bsk: Any
+    ksk: Any
+
+
+def make_context(key, params: TfheParams = TOY) -> TfheContext:
+    """Generates secrets and evaluation keys for a parameter set."""
+    import jax
+    import jax.numpy as jnp
+
+    from .boot import make_bootstrap_key
+    from .decompose import ApproxSignedBasis32
+    from .distr.sampling import DiscreteGaussian
+    from .lattice import keyswitch, tfhe
+
+    p = params
+    basis = ApproxSignedBasis32(None, p.log_basis, reverse_length=p.level)
+    ks_basis = ApproxSignedBasis32(None, p.ks_log_basis, reverse_length=p.ks_level)
+    conv = tfhe.make_convolver(p.log_n, p.level, p.glwe_dim, p.log_basis)
+    gaussian = DiscreteGaussian(max(p.lwe_sigma, 1e-6))
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lwe_secret = (jax.random.bits(k1, (p.lwe_dim,), dtype=jnp.uint32) & 1).astype(
+        jnp.uint32
+    )
+    glwe_secret = (
+        jax.random.bits(k2, (p.glwe_dim, p.n), dtype=jnp.uint32) & 1
+    ).astype(jnp.uint32)
+    bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gaussian, conv)
+    ksk = keyswitch.make_keyswitch_key(
+        k4, glwe_secret.reshape(-1), lwe_secret, ks_basis, gaussian
+    )
+    return TfheContext(
+        params=p, basis=basis, ks_basis=ks_basis, conv=conv, gaussian=gaussian,
+        lwe_secret=lwe_secret, glwe_secret=glwe_secret, bsk=bsk, ksk=ksk,
+    )
+
+
+def save_keys(path: str, ctx: TfheContext) -> None:
+    """Serializes evaluation keys + params to an ``.npz`` (bytes layer of
+    the reference's ``impl_bytes_conversion`` for key material)."""
+    import numpy as np
+
+    np.savez_compressed(
+        path,
+        bsk=np.asarray(ctx.bsk),
+        ksk=np.asarray(ctx.ksk),
+        lwe_secret=np.asarray(ctx.lwe_secret),
+        glwe_secret=np.asarray(ctx.glwe_secret),
+        params=np.array(
+            [
+                ctx.params.log_n, ctx.params.glwe_dim, ctx.params.lwe_dim,
+                ctx.params.log_basis, ctx.params.level,
+                ctx.params.ks_log_basis, ctx.params.ks_level,
+            ],
+            dtype=np.int64,
+        ),
+        sigmas=np.array(
+            [ctx.params.lwe_sigma, ctx.params.glwe_sigma], dtype=np.float64
+        ),
+    )
+
+
+def load_keys(path: str) -> TfheContext:
+    """Rebuilds a full context (plans/bases/convolver re-derived) from npz."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .decompose import ApproxSignedBasis32
+    from .distr.sampling import DiscreteGaussian
+    from .lattice import tfhe
+
+    z = np.load(path)
+    pv = z["params"]
+    sig = z["sigmas"]
+    params = TfheParams(
+        log_n=int(pv[0]), glwe_dim=int(pv[1]), lwe_dim=int(pv[2]),
+        log_basis=int(pv[3]), level=int(pv[4]),
+        ks_log_basis=int(pv[5]), ks_level=int(pv[6]),
+        lwe_sigma=float(sig[0]), glwe_sigma=float(sig[1]),
+    )
+    basis = ApproxSignedBasis32(None, params.log_basis, reverse_length=params.level)
+    ks_basis = ApproxSignedBasis32(
+        None, params.ks_log_basis, reverse_length=params.ks_level
+    )
+    conv = tfhe.make_convolver(
+        params.log_n, params.level, params.glwe_dim, params.log_basis
+    )
+    return TfheContext(
+        params=params, basis=basis, ks_basis=ks_basis, conv=conv,
+        gaussian=DiscreteGaussian(max(params.lwe_sigma, 1e-6)),
+        lwe_secret=jnp.asarray(z["lwe_secret"]),
+        glwe_secret=jnp.asarray(z["glwe_secret"]),
+        bsk=jnp.asarray(z["bsk"]), ksk=jnp.asarray(z["ksk"]),
+    )
