@@ -87,11 +87,25 @@ def blind_rotate(
     acc = jnp.zeros(batch + (k1, n), dtype=_U32)
     acc = acc.at[..., -1, :].set(v_rot)
 
+    # Measured on v5e: the fused Pallas rotation kernel (ops/rotate_pallas)
+    # is ~30% slower end-to-end than the XLA bit-chain here — its (k+1, N)
+    # per-ciphertext blocks are too small to hide grid overheads.  Keep the
+    # XLA path; the kernel remains available for larger-row layouts.
+    use_pallas_rot = False
+
     def body(acc, x):
         a_i, bsk_i = x
-        deg = a_i[..., None] if batch else a_i  # broadcast over the k+1 axis
-        rotated = _rotate_glwe(acc, deg, n)
-        diff = rotated - acc
+        if use_pallas_rot:
+            from ..ops.rotate_pallas import pallas_rotate
+
+            acc3 = acc.reshape((-1, k1, n))
+            d3 = jnp.asarray(a_i, jnp.int32).reshape(-1)
+            d3 = jnp.broadcast_to(d3, acc3.shape[:1]) % (2 * n)
+            diff = pallas_rotate(acc3, d3, n, subtract=True).reshape(acc.shape)
+        else:
+            deg = a_i[..., None] if batch else a_i  # broadcast over k+1
+            rotated = _rotate_glwe(acc, deg, n)
+            diff = rotated - acc
         delta = external_product(conv, basis, diff, bsk_i)
         return acc + delta, None
 

@@ -64,3 +64,24 @@ def test_pallas_odd_batch_fallback():
     got = from_u64_pair(pallas_forward64(pp, data, 1, 2))
     ref = from_u64_pair(forward64(jp, data))
     assert (got == ref).all()
+
+
+def test_pallas_rotate_matches_jnp():
+    import jax.numpy as jnp
+
+    from primus_fhe_tpu.boot.blind_rotate import _rotate_glwe
+    from primus_fhe_tpu.ops.rotate_pallas import pallas_rotate
+
+    n = 64
+    rng2 = np.random.default_rng(5)
+    v = jnp.asarray(rng2.integers(0, 1 << 32, (3, 2, n), dtype=np.uint64).astype(np.uint32))
+    degrees = jnp.asarray([0, 7, 2 * n - 1], dtype=jnp.int32)
+    got = np.asarray(pallas_rotate(v, degrees, n))
+    for i, d in enumerate([0, 7, 2 * n - 1]):
+        expect = np.asarray(_rotate_glwe(v[i], jnp.int32(d), n))
+        assert (got[i] == expect).all(), d
+    # subtract variant
+    got_d = np.asarray(pallas_rotate(v, degrees, n, subtract=True))
+    for i, d in enumerate([0, 7, 2 * n - 1]):
+        expect = np.asarray(_rotate_glwe(v[i], jnp.int32(d), n)) - np.asarray(v[i])
+        assert (got_d[i] == expect).all(), d
