@@ -46,7 +46,17 @@ def main():
           f"primes={conv.primes} pallas={conv.use_pallas}", file=sys.stderr)
 
     test_poly = jnp.full(N, 1 << 28, dtype=jnp.uint32)
-    cts = jax.random.bits(k4, (BATCH, N_LWE + 1), dtype=jnp.uint32)
+    # half the batch encrypts +1/8, half -1/8 so output signs are checkable
+    import numpy as _np
+
+    mus = jnp.asarray(
+        _np.where(_np.arange(BATCH) % 2 == 0, 1 << 29, (1 << 32) - (1 << 29)).astype(
+            _np.uint32
+        )
+    )
+    a_part = jax.random.bits(k4, (BATCH, N_LWE), dtype=jnp.uint32)
+    b_part = jnp.sum(a_part * lwe_secret[None], axis=1, dtype=jnp.uint32) + mus
+    cts = jnp.concatenate([a_part, b_part[:, None]], axis=1)
 
     run = jax.jit(lambda c: bootstrap(conv, basis, bsk, c, test_poly, LOG_N))
 
@@ -67,6 +77,17 @@ def main():
     t2 = time.perf_counter()
     dt = max((t2 - t1) - (t1 - t0) * 0, (t2 - t1)) / reps
     rate = BATCH / dt
+
+    # correctness: decrypted phases must carry the input signs
+    from primus_fhe_tpu.lattice.lwe import phase_torus32
+
+    ph = np.asarray(phase_torus32(out, glwe_secret.reshape(-1))).astype(np.int64)
+    ph = np.where(ph >= 1 << 31, ph - (1 << 32), ph)
+    expect_pos = np.arange(BATCH) % 2 == 0
+    ok = ((ph > 0) == expect_pos).all() and (np.abs(np.abs(ph) - (1 << 28)) < 1 << 26).all()
+    print(f"[bench_boot] output sign check: {'OK' if ok else 'FAIL'}", file=sys.stderr)
+    if not ok:
+        raise SystemExit("bootstrap output incorrect")
     print(f"[bench_boot] compile={compile_s:.1f}s step={dt*1e3:.1f}ms", file=sys.stderr)
     print(
         json.dumps(

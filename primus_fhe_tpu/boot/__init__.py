@@ -1,5 +1,6 @@
 """Bootstrapping pipelines composed from the lattice layer."""
 
+from . import gates
 from .blind_rotate import (
     modulus_switch,
     blind_rotate,
@@ -9,6 +10,7 @@ from .blind_rotate import (
 )
 
 __all__ = [
+    "gates",
     "modulus_switch",
     "blind_rotate",
     "bootstrap",

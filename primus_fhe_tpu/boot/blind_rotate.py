@@ -87,26 +87,22 @@ def blind_rotate(
     acc = jnp.zeros(batch + (k1, n), dtype=_U32)
     acc = acc.at[..., -1, :].set(v_rot)
 
-    # Measured on v5e: the fused Pallas rotation kernel (ops/rotate_pallas)
-    # is ~30% slower end-to-end than the XLA bit-chain here — its (k+1, N)
-    # per-ciphertext blocks are too small to hide grid overheads.  Keep the
-    # XLA path; the kernel remains available for larger-row layouts.
-    use_pallas_rot = False
+    use_fused = getattr(conv, "use_pallas", False)
 
     def body(acc, x):
         a_i, bsk_i = x
-        if use_pallas_rot:
-            from ..ops.rotate_pallas import pallas_rotate
+        if use_fused:
+            # fused Pallas front end (rotate-diff + decompose + lift)
+            from ..lattice.tfhe import cmux_delta
 
             acc3 = acc.reshape((-1, k1, n))
             d3 = jnp.asarray(a_i, jnp.int32).reshape(-1)
             d3 = jnp.broadcast_to(d3, acc3.shape[:1]) % (2 * n)
-            diff = pallas_rotate(acc3, d3, n, subtract=True).reshape(acc.shape)
+            delta = cmux_delta(conv, basis, acc3, d3, bsk_i).reshape(acc.shape)
         else:
             deg = a_i[..., None] if batch else a_i  # broadcast over k+1
             rotated = _rotate_glwe(acc, deg, n)
-            diff = rotated - acc
-        delta = external_product(conv, basis, diff, bsk_i)
+            delta = external_product(conv, basis, rotated - acc, bsk_i)
         return acc + delta, None
 
     a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)  # (n_lwe, ...)

@@ -21,6 +21,15 @@ NTT variants   same shape, evaluation domain  ``src/*/ntt.rs`` (bit-reversed ord
 =============  ============================  ==========================================
 """
 
-from . import lwe, rlwe, glwe, tfhe
+from . import dcrt, glev, glwe, keyswitch, lwe, ntru, rlwe, tfhe
 
-__all__ = ["lwe", "rlwe", "glwe", "tfhe"]
+__all__ = [
+    "dcrt",
+    "glev",
+    "glwe",
+    "keyswitch",
+    "lwe",
+    "ntru",
+    "rlwe",
+    "tfhe",
+]

@@ -40,11 +40,9 @@ def make_keyswitch_key(key, secret_in, secret_out, basis: ApproxSignedBasis32, g
         [s & 0xFFFFFFFF for s in basis.scalars], dtype=_U32
     )  # (level,)
     msg = secret_in[:, None] * scal[None, :]  # (n_in, level)
-    b = (
-        jnp.einsum("ilo,o->il", a, secret_out, preferred_element_type=_U32)
-        + msg
-        + e
-    )
+    # integer dot via broadcast-multiply-reduce: XLA's integer dot lowering
+    # is pathologically slow on TPU, elementwise+reduce is fast.
+    b = jnp.sum(a * secret_out[None, None, :], axis=-1, dtype=_U32) + msg + e
     return jnp.concatenate([a, b[..., None]], axis=-1)
 
 
@@ -56,9 +54,12 @@ def key_switch(lwe, ksk, basis: ApproxSignedBasis32):
     b = lwe[..., n_in]
     digits = basis.decompose(a)  # (level, ..., n_in) torus-signed u32
     digits = jnp.moveaxis(digits, 0, -1)  # (..., n_in, level)
-    # out = sum_{i,l} d[i,l] * ksk[i,l,:]  (wrapping torus arithmetic)
-    acc = jnp.einsum(
-        "...il,ilo->...o", digits, ksk, preferred_element_type=_U32
+    # out = sum_{i,l} d[i,l] * ksk[i,l,:]  (wrapping torus arithmetic);
+    # broadcast-multiply-reduce instead of an integer einsum (slow on TPU).
+    acc = jnp.sum(
+        digits[..., :, :, None] * ksk[None] if digits.ndim > 2 else digits[..., None] * ksk,
+        axis=(-3, -2),
+        dtype=_U32,
     )
     out = jnp.zeros(lwe.shape[:-1] + (n_out1,), dtype=_U32)
     out = out.at[..., -1].set(b)

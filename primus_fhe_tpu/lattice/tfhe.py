@@ -81,12 +81,22 @@ def external_product(
     # 2. forward transform all digits at once: (kp, B..., k+1, L, N)
     f = conv.forward(digits)
 
-    # 3. multiply-accumulate over (input component, level):
-    #    acc[kp, B..., j, N] = sum_{r,l} f[kp,B..,r,l,N] * key[kp,r,l,j,N]
-    # Unrolled with wrap-exact raw u32 accumulation: canonical terms are
-    # < p < 2^30, so up to 4 of them sum exactly in uint32 before a single
-    # Barrett pass — far cheaper than generic split-limb reduction and
-    # free of the relayouts a transpose-based contraction would cost.
+    # 3-4. MAC + inverse + recombine.
+    return _external_product_tail(conv, f, key_ntt, batch)
+
+
+def _external_product_tail(conv, f, key_ntt, batch):
+    """MAC + inverse NTT + CRT recombine.
+
+    ``f``: ``(kp, B..., k1, L, N)`` NTT-domain digit residues (canonical or
+    lazy ``[0, 4p)`` — the wide Barrett bound ``4p^2 < p*2^32`` holds either
+    way).  Unrolled (component, level) accumulation with wrap-exact raw u32
+    sums: canonical terms are < p < 2^30, so up to 4 sum exactly in uint32
+    before a single Barrett pass — far cheaper than generic split-limb
+    reduction and free of transpose relayouts.
+    """
+    kp = conv.count
+    k1, level, k1b, n = key_ntt.shape[1:]
     key_b = key_ntt.reshape((kp,) + (1,) * len(batch) + (k1, level, k1, n))
     # t has shape (kp, B..., j, N): rank 1 + len(batch) + 2, so the modulus
     # record broadcasts with len(batch) + 2 trailing singleton axes.
@@ -113,9 +123,35 @@ def external_product(
                 acc = acc + t  # raw u32, exact while pending < cap
                 pending += 1
     acc = reduce_once32(modops_barrett_lazy_reduce32(acc, m_x), m_x.value)
-
-    # 4. inverse transform + CRT recombine back to the torus.
     return conv.recombine(conv.inverse(acc))
+
+
+def cmux_delta(conv, basis, acc, degrees, key_ntt):
+    """``(acc * X^d - acc) ⊡ key`` — the blind-rotation step, with the
+    fused Pallas front end (rotate-diff + decompose + lift in one VMEM
+    pass) on TPU and the composed path elsewhere.
+
+    ``acc``: ``(B, k1, N)``; ``degrees``: ``(B,)`` int32 mod 2N.
+    """
+    bsz, k1, n = acc.shape
+    if getattr(conv, "use_pallas", False):
+        from ..ops.cmux_pallas import pallas_cmux_front
+        from ..ops.ntt_pallas import pallas_forward32
+
+        res = pallas_cmux_front(acc, degrees, basis, tuple(conv.primes), n)
+        f = jnp.stack(
+            [
+                pallas_forward32(p, res[i], 4)
+                for i, p in enumerate(conv.pallas_plans)
+            ]
+        )
+        return _external_product_tail(conv, f, key_ntt, (bsz,))
+    # composed fallback
+    from ..boot.blind_rotate import _rotate_glwe
+
+    deg = jnp.asarray(degrees, jnp.int32)[..., None]
+    rotated = _rotate_glwe(acc, deg, n)
+    return external_product(conv, basis, rotated - acc, key_ntt)
 
 
 # ---------------------------------------------------------------------------
