@@ -1,0 +1,75 @@
+"""Blind rotation over an RNS (DCRT) accumulator — the 62-bit-tier
+bootstrap pipeline (BFV/FHEW-flavored).
+
+Where the torus pipeline rotates in the coefficient domain, the DCRT
+accumulator lives in the NTT domain, so ``acc * X^d`` is one *pointwise*
+multiply by the monomial diagonal (``transforms.dcrt.dcrt_monomial64``).
+Each CMux step is:
+
+    rotated = acc ⊙ NTT(X^d)                     (pointwise, per modulus)
+    diff    = rotated - acc                      (NTT domain)
+    delta   = INTT(diff) gadget-⊡ GGSW_i         (lattice.dcrt pipeline:
+              compose -> multi-limb decompose -> respread -> NTT -> MAC)
+    acc    += delta
+
+This is the composition SURVEY.md §3.4 points at (``DcrtGlwe::
+add_dcrt_glev_mul_crt_poly_assign`` as the inner op of a rotation loop).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..decompose.big_integer import BigUintApproxSignedBasis
+from ..lattice.dcrt import crt_glwe_mul_dcrt_ggsw
+from ..modular.modops import add64, mul64, sub64
+from ..numeric.limb import U64
+from ..rns.base import RNSBase64
+from ..transforms.dcrt import DcrtPlan64, dcrt_inverse64, dcrt_monomial64
+
+_U32 = jnp.uint32
+
+
+def _m_bc(rns_base, extra):
+    return jax.tree.map(
+        lambda x: x.reshape((rns_base.count,) + (1,) * extra), rns_base.modulus
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def dcrt_blind_rotate(
+    plan: DcrtPlan64,
+    basis: BigUintApproxSignedBasis,
+    rns_base: RNSBase64,
+    bsk,  # U64 (n_lwe, k+1, L, n_mod, k+1, N) — DcrtGgsw(s_i), NTT domain
+    lwe_switched,  # (n_lwe + 1,) int32 mod 2N
+    acc0,  # U64 (n_mod, k+1, N) — initial accumulator, NTT domain
+) -> U64:
+    """Returns the rotated accumulator (NTT domain)."""
+    n_lwe = bsk.lo.shape[0]
+    n = plan.n
+    m = _m_bc(rns_base, 2)
+
+    b = lwe_switched[n_lwe]
+    mono_b = dcrt_monomial64(plan, (-b) % (2 * n))  # (n_mod, N)
+    mb = U64(mono_b.lo[:, None, :], mono_b.hi[:, None, :])
+    acc = mul64(acc0, mb, m)
+
+    def body(acc, x):
+        a_i, bsk_lo, bsk_hi = x
+        mono = dcrt_monomial64(plan, a_i % (2 * n))
+        mo = U64(mono.lo[:, None, :], mono.hi[:, None, :])
+        rotated = mul64(acc, mo, m)
+        diff_ntt = sub64(rotated, acc, m.value)
+        diff = dcrt_inverse64(plan, diff_ntt)
+        delta = crt_glwe_mul_dcrt_ggsw(
+            diff, U64(bsk_lo, bsk_hi), basis, plan, rns_base
+        )
+        return add64(acc, delta, m.value), None
+
+    a_t = lwe_switched[:n_lwe]
+    acc, _ = jax.lax.scan(body, acc, (a_t, bsk.lo, bsk.hi))
+    return acc

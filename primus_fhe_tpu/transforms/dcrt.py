@@ -310,3 +310,20 @@ def dcrt_inverse64(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
     if out_factor == 1:
         out = reduce_once64(out, qv)
     return out
+
+
+def dcrt_monomial64(plan: DcrtPlan64, degree, negate=False) -> U64:
+    """NTT of ``±X^degree`` for every modulus: ``U64 (k, n)``.
+
+    The DCRT analogue of ``transform_monomial`` (table.rs:565-650) — in the
+    NTT domain a monomial is diagonal, so DCRT-domain rotation is one
+    pointwise multiply per modulus.
+    """
+    n = plan.n
+    mask = 2 * n - 1
+    degree = jnp.asarray(degree, dtype=jnp.int32)
+    idx = (plan.monomial_base * degree) & mask
+    if negate is not False:
+        flip = jnp.asarray(negate, dtype=jnp.int32) * n
+        idx = idx ^ flip
+    return U64(plan.ordinal_roots.lo[:, idx], plan.ordinal_roots.hi[:, idx])
