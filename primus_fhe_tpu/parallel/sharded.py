@@ -36,7 +36,7 @@ def sharded_dcrt_forward32(plan: DcrtPlan32, values, mesh: Mesh, out_factor: int
         in_shardings=(None, sh),
         out_shardings=sh,
     )
-    return f(plan, values, out_factor=out_factor)
+    return f(plan, values, out_factor)
 
 
 def sharded_dcrt_inverse32(plan: DcrtPlan32, values, mesh: Mesh, out_factor: int = 1):
@@ -47,7 +47,7 @@ def sharded_dcrt_inverse32(plan: DcrtPlan32, values, mesh: Mesh, out_factor: int
         in_shardings=(None, sh),
         out_shardings=sh,
     )
-    return f(plan, values, out_factor=out_factor)
+    return f(plan, values, out_factor)
 
 
 def sharded_external_product(conv, basis, glwe, key_ntt, mesh: Mesh):
