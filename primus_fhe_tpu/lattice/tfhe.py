@@ -28,7 +28,6 @@ from ..modular.modops import (
     barrett_lazy_reduce32 as modops_barrett_lazy_reduce32,
     lazy_mul32,
     reduce_once32,
-    sum_mod32,
 )
 from ..transforms.torus import TorusConvolver32
 

@@ -17,12 +17,10 @@ ranges), so outputs are bit-identical to the single-device transform.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..numeric.limb import mulhi_u32
 

@@ -23,7 +23,6 @@ import numpy as np
 
 from ..modular.factor import factor_mul32, factor_mul64
 from ..modular.modops import dot32, dot64, mul32, sub32
-from ..modular.modulus import BarrettModulus32, BarrettModulus64
 from ..numeric.limb import U64, to_u64_pair
 from .base import RNSBase32, RNSBase64
 

@@ -43,7 +43,7 @@ from ..modular.modops import (
     sub32,
 )
 from ..modular.factor import shoup32
-from ..numeric.limb import U64, mul_wide_u32, to_u64_pair, u64_add
+from ..numeric.limb import U64, to_u64_pair
 from ..utils.gcd import mod_inv
 from ..utils.primes import next_ntt_prime
 from .dcrt import DcrtPlan32, build_dcrt_plan32, dcrt_forward32, dcrt_inverse32
