@@ -142,3 +142,63 @@ def test_gadget_product_scalar_message(setup):
         d = (g - mu * c) % Q
         dist = min(d, Q - d)
         assert dist <= bound, dist
+
+
+def test_dcrt_encrypted_external_product(setup):
+    """Config-4 with real encryption: DcrtGgsw(mu) x encrypted CrtGlwe."""
+    import jax
+
+    from primus_fhe_tpu.distr.sampling import DiscreteGaussian
+    from primus_fhe_tpu.lattice.dcrt import (
+        dcrt_ggsw_encrypt,
+        dcrt_glwe_phase,
+        dcrt_glwe_zero_sample,
+    )
+    from primus_fhe_tpu.modular.modops import add64
+    from primus_fhe_tpu.transforms.dcrt import dcrt_forward64
+
+    base, basis, plan = setup
+    Q = base.q_product
+    n_mod = base.count
+    K = 1
+    gauss = DiscreteGaussian(3.2)
+    key = jax.random.PRNGKey(1)
+    ks, kg, ke = jax.random.split(key, 3)
+
+    # binary secret, same poly under every modulus, NTT domain
+    bits = np.asarray(
+        jax.random.bits(ks, (K, N), dtype=jnp.uint32) & 1, dtype=np.uint64
+    )
+    secret_coeff = to_u64_pair(np.broadcast_to(bits[None], (n_mod, K, N)).copy())
+    secret_ntt = dcrt_forward64(plan, secret_coeff)
+
+    # encrypt a message poly with delta = Q // 2^12 scaling
+    delta = Q >> 12
+    msg = [rng.randrange(8) for _ in range(N)]
+    ct = dcrt_glwe_zero_sample(ke, secret_ntt, gauss, plan, base)
+    enc_msg = _crt_poly(base, [m * delta % Q for m in msg])
+    msg_ntt = dcrt_forward64(plan, U64(enc_msg.lo[:, None], enc_msg.hi[:, None]))
+    from primus_fhe_tpu.lattice.dcrt import _m_bc
+
+    ct = U64(
+        ct.lo.at[:, K].set(add64(U64(ct.lo[:, K], ct.hi[:, K]), U64(msg_ntt.lo[:, 0], msg_ntt.hi[:, 0]), _m_bc(base, 1).value).lo),
+        ct.hi.at[:, K].set(add64(U64(ct.lo[:, K], ct.hi[:, K]), U64(msg_ntt.lo[:, 0], msg_ntt.hi[:, 0]), _m_bc(base, 1).value).hi),
+    )
+
+    # encrypt/decrypt sanity
+    ph = dcrt_glwe_phase(ct, secret_ntt, plan, base)
+    vals = _from_crt(base, ph)
+    for v, m in zip(vals, msg):
+        d = (v - m * delta) % Q
+        assert min(d, Q - d) < 1 << 12
+
+    # GGSW(2) x ct  ->  phase ~ 2 * msg * delta
+    ggsw = dcrt_ggsw_encrypt(kg, 2, secret_ntt, basis, gauss, plan, base)
+    ct_coeff = dcrt_inverse64(plan, ct)
+    out = crt_glwe_mul_dcrt_ggsw(ct_coeff, ggsw, basis, plan, base)
+    ph2 = dcrt_glwe_phase(out, secret_ntt, plan, base)
+    vals2 = _from_crt(base, ph2)
+    bound = delta >> 2
+    for v, m in zip(vals2, msg):
+        d = (v - 2 * m * delta) % Q
+        assert min(d, Q - d) < bound, (v, m)
