@@ -28,7 +28,7 @@ from ..lattice.dcrt import crt_glwe_mul_dcrt_ggsw
 from ..modular.modops import add64, mul64, sub64
 from ..numeric.limb import U64
 from ..rns.base import RNSBase64
-from ..transforms.dcrt import DcrtPlan64, dcrt_inverse64, dcrt_monomial64
+from ..transforms.dcrt import DcrtPlan64, dcrt_inverse64_fast, dcrt_monomial64
 
 _U32 = jnp.uint32
 
@@ -64,7 +64,7 @@ def dcrt_blind_rotate(
         mo = U64(mono.lo[:, None, :], mono.hi[:, None, :])
         rotated = mul64(acc, mo, m)
         diff_ntt = sub64(rotated, acc, m.value)
-        diff = dcrt_inverse64(plan, diff_ntt)
+        diff = dcrt_inverse64_fast(plan, diff_ntt)
         delta = crt_glwe_mul_dcrt_ggsw(
             diff, U64(bsk_lo, bsk_hi), basis, plan, rns_base
         )

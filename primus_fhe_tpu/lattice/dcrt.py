@@ -32,7 +32,13 @@ from ..decompose.big_integer import BigUintApproxSignedBasis
 from ..modular.modops import add64, mul64, lazy_mul64, reduce_once64
 from ..numeric.limb import U64
 from ..rns.base import RNSBase64
-from ..transforms.dcrt import DcrtPlan64, dcrt_forward64, dcrt_inverse64
+from ..transforms.dcrt import (
+    DcrtPlan64,
+    dcrt_forward64,
+    dcrt_forward64_fast,
+    dcrt_inverse64,
+    dcrt_inverse64_fast,
+)
 
 _U32 = jnp.uint32
 
@@ -48,7 +54,7 @@ def _digits_to_dcrt(digit_u32, basis, rns_base, plan, out_factor=1):
     ``U64 (n_mod, ..., N)`` via the centered lift (base.rs:279)."""
     d64 = U64(digit_u32, jnp.zeros_like(digit_u32))
     residues = rns_base.wrapping_decompose_small(d64, basis.basis)
-    return dcrt_forward64(plan, residues, out_factor)
+    return dcrt_forward64_fast(plan, residues, out_factor)
 
 
 @functools.partial(jax.jit, static_argnums=(3, 5))

@@ -72,6 +72,7 @@ class DcrtPlan64:
     ordinal_roots: U64
     monomial_base: jnp.ndarray
     log_n: int = dataclasses.field(metadata=dict(static=True))
+    moduli: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     @property
     def n(self):
@@ -132,6 +133,7 @@ def build_dcrt_plan64(log_n: int, moduli: list[int]) -> DcrtPlan64:
         ordinal_roots=st("ordinal_roots"),
         monomial_base=plans[0].monomial_base,
         log_n=log_n,
+        moduli=tuple(int(q) for q in moduli),
     )
 
 
@@ -327,3 +329,56 @@ def dcrt_monomial64(plan: DcrtPlan64, degree, negate=False) -> U64:
         flip = jnp.asarray(negate, dtype=jnp.int32) * n
         idx = idx ^ flip
     return U64(plan.ordinal_roots.lo[:, idx], plan.ordinal_roots.hi[:, idx])
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed fast path: per-modulus fused kernels (cached per (log_n, q))
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _pallas_plan64(log_n: int, q: int):
+    from ..ops.ntt_pallas import PallasNttPlan64
+
+    return PallasNttPlan64(log_n, q)
+
+
+def dcrt_forward64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
+    """DCRT forward that routes each modulus through the fused Pallas u64
+    kernel on TPU (a single custom call per modulus — keeps enclosing scan
+    graphs small and fast to compile); XLA-staged path elsewhere."""
+    if jax.default_backend() == "tpu" and plan.moduli:
+        from ..ops.ntt_pallas import pallas_forward64
+
+        outs = [
+            pallas_forward64(
+                _pallas_plan64(plan.log_n, q),
+                U64(values.lo[i], values.hi[i]),
+                out_factor,
+            )
+            for i, q in enumerate(plan.moduli)
+        ]
+        return U64(
+            jnp.stack([o.lo for o in outs]), jnp.stack([o.hi for o in outs])
+        )
+    return dcrt_forward64(plan, values, out_factor)
+
+
+def dcrt_inverse64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
+    if jax.default_backend() == "tpu" and plan.moduli:
+        from ..ops.ntt_pallas import pallas_inverse64
+
+        outs = [
+            pallas_inverse64(
+                _pallas_plan64(plan.log_n, q),
+                U64(values.lo[i], values.hi[i]),
+                out_factor,
+            )
+            for i, q in enumerate(plan.moduli)
+        ]
+        return U64(
+            jnp.stack([o.lo for o in outs]), jnp.stack([o.hi for o in outs])
+        )
+    return dcrt_inverse64(plan, values, out_factor)
