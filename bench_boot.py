@@ -25,10 +25,12 @@ def main():
     from primus_fhe_tpu.distr.sampling import DiscreteGaussian
     from primus_fhe_tpu.lattice import tfhe
 
-    LOG_N, K, LB, LV = 10, 1, 8, 2
-    N = 1 << LOG_N
-    N_LWE = 512
     import os
+    LOG_N = int(os.environ.get("BOOT_LOG_N", 10))
+    K, LB = 1, 8
+    LV = int(os.environ.get("BOOT_LEVEL", 2))
+    N = 1 << LOG_N
+    N_LWE = int(os.environ.get("BOOT_NLWE", 512))
     BATCH = int(os.environ.get('BOOT_BATCH', 16))
 
     basis = ApproxSignedBasis32(None, LB, reverse_length=LV)

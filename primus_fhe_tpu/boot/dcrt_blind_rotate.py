@@ -73,3 +73,14 @@ def dcrt_blind_rotate(
     a_t = lwe_switched[:n_lwe]
     acc, _ = jax.lax.scan(body, acc, (a_t, bsk.lo, bsk.hi))
     return acc
+
+
+def dcrt_blind_rotate_batched(plan, basis, rns_base, bsk, lwe_batch, acc_batch: U64) -> U64:
+    """Batched RNS blind rotation: ``lwe_batch (B, n_lwe+1)``,
+    ``acc_batch U64 (B, n_mod, k+1, N)`` — vmapped over the ciphertext
+    axis (the bootstrap key is shared)."""
+
+    def one(lwe, acc):
+        return dcrt_blind_rotate(plan, basis, rns_base, bsk, lwe, acc)
+
+    return jax.vmap(one)(lwe_batch, acc_batch)
