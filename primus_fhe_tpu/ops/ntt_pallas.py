@@ -50,6 +50,10 @@ class PallasNttPlan64:
     """Expanded root tables for the fused u64 NTT kernel."""
 
     def __init__(self, log_n: int, q: int):
+        if log_n > 15:
+            # expanded per-lane tables are (log_n, n) x 4 u32 arrays; above
+            # n = 2^15 they exceed VMEM — use the XLA-staged transforms.
+            raise ValueError("PallasNttPlan64 supports n <= 2^15 (table VMEM)")
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.q = q
@@ -302,9 +306,13 @@ def _call(plan: PallasNttPlan64, values: U64, kernel, tables, tile: int):
     vlo2 = vlo.reshape(b, n)
     vhi2 = vhi.reshape(b, n)
     tile = min(tile, b)
-    if b % tile != 0:
-        tile = 1
-    grid = (b // tile,)
+    pad = (-b) % tile
+    if pad:
+        # pad to a tile multiple: a tile=1 fallback trips a Mosaic lowering
+        # bug on TPU and tiny tiles waste sublanes anyway.
+        vlo2 = jnp.concatenate([vlo2, jnp.zeros((pad, n), jnp.uint32)])
+        vhi2 = jnp.concatenate([vhi2, jnp.zeros((pad, n), jnp.uint32)])
+    grid = ((b + pad) // tile,)
     w, p = tables
     table_spec = pl.BlockSpec((plan.log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     val_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -314,12 +322,14 @@ def _call(plan: PallasNttPlan64, values: U64, kernel, tables, tile: int):
         in_specs=[table_spec] * 4 + [val_spec] * 2,
         out_specs=[val_spec] * 2,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n), jnp.uint32),
-            jax.ShapeDtypeStruct((b, n), jnp.uint32),
+            jax.ShapeDtypeStruct((b + pad, n), jnp.uint32),
+            jax.ShapeDtypeStruct((b + pad, n), jnp.uint32),
         ],
         interpret=jax.default_backend() != "tpu",
     )(w.lo, w.hi, p.lo, p.hi, vlo2, vhi2)
-    return U64(out[0].reshape(*batch_shape, n), out[1].reshape(*batch_shape, n))
+    return U64(
+        out[0][:b].reshape(*batch_shape, n), out[1][:b].reshape(*batch_shape, n)
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
@@ -471,9 +481,10 @@ def _call32(plan, values, make_kernel, tables, out_factor, tile):
     b = int(np.prod(batch_shape)) if batch_shape else 1
     v2 = values.reshape(b, n)
     tile = min(tile, b)
-    if b % tile != 0:
-        tile = 1
-    grid = (b // tile,)
+    pad = (-b) % tile
+    if pad:
+        v2 = jnp.concatenate([v2, jnp.zeros((pad, n), jnp.uint32)])
+    grid = ((b + pad) // tile,)
     w, p = tables
     table_spec = pl.BlockSpec((plan.log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     val_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -483,10 +494,10 @@ def _call32(plan, values, make_kernel, tables, out_factor, tile):
         grid=grid,
         in_specs=[table_spec] * 2 + [val_spec],
         out_specs=val_spec,
-        out_shape=jax.ShapeDtypeStruct((b, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((b + pad, n), jnp.uint32),
         interpret=jax.default_backend() != "tpu",
     )(w, p, v2)
-    return out.reshape(*batch_shape, n)
+    return out[:b].reshape(*batch_shape, n)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
