@@ -73,3 +73,45 @@ def glwe_key_switch(
     out = jnp.zeros(batch + (k_out1, n), dtype=_U32)
     out = out.at[..., -1, :].set(b)
     return out - acc
+
+
+# ---------------------------------------------------------------------------
+# LWE -> RLWE packing key switch
+# ---------------------------------------------------------------------------
+
+
+def make_packing_keyswitch_key(
+    key,
+    lwe_secret,  # (n_lwe,) bits/values as uint32
+    glwe_secret,  # (k_out, N)
+    basis: ApproxSignedBasis32,
+    gaussian,
+    conv: TorusConvolver32,
+):
+    """Packing KSK: input dimension ``i`` keyed by the *constant* polynomial
+    ``s_i`` — ``(kp, n_lwe, L, k_out+1, N)`` NTT residues."""
+    n = glwe_secret.shape[1]
+    s_in = jnp.zeros((lwe_secret.shape[0], n), dtype=_U32).at[:, 0].set(lwe_secret)
+    return make_glwe_keyswitch_key(key, s_in, glwe_secret, basis, gaussian, conv)
+
+
+def pack_lwes(
+    conv: TorusConvolver32,
+    basis: ApproxSignedBasis32,
+    lwes,  # (count, n_lwe + 1) torus u32, count <= N
+    pksk_ntt,
+):
+    """Packs ``count`` LWE samples into one GLWE encrypting
+    ``sum_j m_j X^j`` (the standard functional packing key switch).
+
+    Builds the mask polynomials ``a_i(X) = sum_j a_{j,i} X^j`` and the body
+    ``b(X) = sum_j b_j X^j``, then runs the GLWE key switch.
+    """
+    kp, n_lwe, level, k_out1, n = pksk_ntt.shape
+    count = lwes.shape[0]
+    assert count <= n
+    a_polys = jnp.zeros((n_lwe, n), dtype=_U32)
+    a_polys = a_polys.at[:, :count].set(lwes[:, :n_lwe].T)
+    b_poly = jnp.zeros((n,), dtype=_U32).at[:count].set(lwes[:, n_lwe])
+    glwe_in = jnp.concatenate([a_polys, b_poly[None]], axis=0)
+    return glwe_key_switch(conv, basis, glwe_in, pksk_ntt)

@@ -96,7 +96,7 @@ def _external_product_tail(conv, f, key_ntt, batch):
     """
     kp = conv.count
     k1, level, k1b, n = key_ntt.shape[1:]
-    key_b = key_ntt.reshape((kp,) + (1,) * len(batch) + (k1, level, k1, n))
+    key_b = key_ntt.reshape((kp,) + (1,) * len(batch) + (k1, level, k1b, n))
     # t has shape (kp, B..., j, N): rank 1 + len(batch) + 2, so the modulus
     # record broadcasts with len(batch) + 2 trailing singleton axes.
     m_x = conv._m(len(batch) + 2)

@@ -45,3 +45,38 @@ def test_glwe_key_switch_preserves_phase():
     ph = glwe_mod.phase_torus(out, s_out, conv)
     err = _centered(np.asarray(ph) - msg)
     assert np.abs(err).max() < delta // 4, np.abs(err).max()
+
+
+def test_pack_lwes():
+    """Pack 4 LWEs into one GLWE: coefficients 0..3 decrypt the messages."""
+    from primus_fhe_tpu.lattice.glwe_keyswitch import (
+        make_packing_keyswitch_key,
+        pack_lwes,
+    )
+
+    N_LWE = 16
+    basis = ApproxSignedBasis32(None, LB, reverse_length=LV)
+    conv = TorusConvolver32(
+        LOG_N, external_product_bound_bits(N, LV, 1, LB)
+    )
+    gauss = DiscreteGaussian(3.2)
+    key = jax.random.PRNGKey(23)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lwe_s = (jax.random.bits(k1, (N_LWE,), dtype=jnp.uint32) & 1).astype(jnp.uint32)
+    glwe_s = (jax.random.bits(k2, (1, N), dtype=jnp.uint32) & 1).astype(jnp.uint32)
+    pksk = make_packing_keyswitch_key(k3, lwe_s, glwe_s, basis, gauss, conv)
+
+    delta = 1 << 28
+    msgs = [1, 3, 0, 2]
+    cts = []
+    for j, m in enumerate(msgs):
+        a = jax.random.bits(jax.random.fold_in(k4, j), (N_LWE,), dtype=jnp.uint32)
+        b = jnp.sum(a * lwe_s, dtype=jnp.uint32) + jnp.uint32(m * delta)
+        cts.append(jnp.concatenate([a, b[None]]))
+    packed = pack_lwes(conv, basis, jnp.stack(cts), pksk)
+    assert packed.shape == (2, N)
+    ph = _centered(np.asarray(glwe_mod.phase_torus(packed, glwe_s, conv)))
+    for j, m in enumerate(msgs):
+        err = abs(int(ph[j]) - m * delta)
+        err = min(err, (1 << 32) - err)
+        assert err < delta // 4, (j, ph[j], m * delta)
