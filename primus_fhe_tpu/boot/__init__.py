@@ -1,6 +1,6 @@
 """Bootstrapping pipelines composed from the lattice layer."""
 
-from . import gates
+from . import circuit_bootstrap, dcrt_blind_rotate, gates
 from .blind_rotate import (
     modulus_switch,
     blind_rotate,
@@ -10,6 +10,8 @@ from .blind_rotate import (
 )
 
 __all__ = [
+    "circuit_bootstrap",
+    "dcrt_blind_rotate",
     "gates",
     "modulus_switch",
     "blind_rotate",

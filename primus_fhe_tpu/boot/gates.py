@@ -61,3 +61,16 @@ def or_gate(conv, basis, bsk, ksk, ks_basis, c1, c2, log_n: int):
 def not_gate(c):
     """NOT is free: negate the whole sample."""
     return jnp.zeros_like(c) - c
+
+
+def leveled_mux(conv, basis, ggsw_ntt, cx, cy):
+    """Leveled select with an encrypted control:
+    ``MUX(sel, x, y) = y + (x - y) ⊡ GGSW(sel)``.
+
+    ``ggsw_ntt`` typically comes from
+    :func:`..circuit_bootstrap.circuit_bootstrap` (an encrypted bit), and
+    ``cx``/``cy`` are GLWE ciphertexts under the same key.
+    """
+    from ..lattice.tfhe import external_product
+
+    return cy + external_product(conv, basis, cx - cy, ggsw_ntt)
