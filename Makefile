@@ -1,0 +1,20 @@
+# Developer entry points. See CLAUDE.md for environment gotchas.
+.PHONY: test bench bench-boot bench-scaling native clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-boot:
+	python bench_boot.py
+
+bench-scaling:
+	python bench_scaling.py
+
+native:
+	$(MAKE) -C native
+
+clean:
+	$(MAKE) -C native clean

@@ -123,3 +123,63 @@ def test_dcrt_blind_rotate_exact(setup):
     for g in got_mask:
         d = g % Q
         assert min(d, Q - d) <= bound
+
+
+def test_dcrt_blind_rotate_encrypted_keys(setup):
+    """Config-5 on the RNS path with a *noisy, encrypted* bootstrap key."""
+    import jax
+
+    from primus_fhe_tpu.distr.sampling import DiscreteGaussian
+    from primus_fhe_tpu.lattice.dcrt import dcrt_ggsw_encrypt, dcrt_glwe_phase
+
+    base, basis, plan = setup
+    Q = base.q_product
+    n_mod = base.count
+    gauss = DiscreteGaussian(3.2)
+    key = jax.random.PRNGKey(55)
+    ks, kg = jax.random.split(key)
+
+    # GLWE secret (binary, same poly mod every modulus), NTT domain
+    bits = np.asarray(jax.random.bits(ks, (1, N), dtype=jnp.uint32) & 1, dtype=np.uint64)
+    secret_ntt = dcrt_forward64(
+        plan, to_u64_pair(np.broadcast_to(bits[None], (n_mod, 1, N)).copy())
+    )
+
+    lwe_secret = [1, 0, 1, 1]
+    bsk_rows = []
+    for i, s in enumerate(lwe_secret):
+        bsk_rows.append(
+            dcrt_ggsw_encrypt(
+                jax.random.fold_in(kg, i), s, secret_ntt, basis, gauss, plan, base
+            )
+        )
+    bsk = U64(
+        jnp.stack([g.lo for g in bsk_rows]), jnp.stack([g.hi for g in bsk_rows])
+    )
+
+    a = [3, 7, 12, 30]
+    b = 5
+    delta = Q >> 8
+    v = [(j + 1) * delta % Q for j in range(N)]
+    acc0_coeff = np.zeros((n_mod, K1, N), dtype=np.uint64)
+    for mi, q in enumerate(base.moduli_ints):
+        acc0_coeff[mi, 1] = [c % q for c in v]
+    acc0 = dcrt_forward64(plan, to_u64_pair(acc0_coeff))
+
+    lwe = jnp.asarray(np.array(a + [b], dtype=np.int32))
+    out = dcrt_blind_rotate(plan, basis, base, bsk, lwe, acc0)
+    ph = dcrt_glwe_phase(out, secret_ntt, plan, base)
+    got = _uncrt(base, ph)
+
+    rot = (-b + sum(ai * si for ai, si in zip(a, lwe_secret))) % (2 * N)
+    expect = [0] * N
+    for j, c in enumerate(v):
+        k = (j + rot) % (2 * N)
+        if k < N:
+            expect[k] = (expect[k] + c) % Q
+        else:
+            expect[k - N] = (expect[k - N] - c) % Q
+    # noisy keys: phase must land within a small fraction of delta
+    for g, e in zip(got, expect):
+        d = (g - e) % Q
+        assert min(d, Q - d) < delta // 4, (g, e)
