@@ -202,3 +202,33 @@ def test_dcrt_encrypted_external_product(setup):
     for v, m in zip(vals2, msg):
         d = (v - 2 * m * delta) % Q
         assert min(d, Q - d) < bound, (v, m)
+
+
+def test_dcrt_pointwise_and_butterfly(setup):
+    """dcrt_glwe_mul_poly and the CMux-shaped butterfly (dcrt.rs:108-150)."""
+    from primus_fhe_tpu.lattice.dcrt import dcrt_glwe_butterfly_mul, dcrt_glwe_mul_poly
+
+    base, basis, plan = setup
+    Q = base.q_product
+    n_mod = base.count
+    nprng = np.random.default_rng(3)
+    a = to_u64_pair(nprng.integers(0, base.moduli_ints[1], (n_mod, 1, N), dtype=np.uint64))
+    rhs = to_u64_pair(nprng.integers(0, base.moduli_ints[1], (n_mod, 1, N), dtype=np.uint64))
+    poly = to_u64_pair(nprng.integers(0, base.moduli_ints[1], (n_mod, N), dtype=np.uint64))
+
+    prod = dcrt_glwe_mul_poly(a, poly, base)
+    for mi, q in enumerate(base.moduli_ints):
+        expect = (
+            from_u64_pair(U64(a.lo[mi, 0], a.hi[mi, 0])).astype(object)
+            * from_u64_pair(U64(poly.lo[mi], poly.hi[mi])).astype(object)
+        ) % q
+        got = from_u64_pair(U64(prod.lo[mi, 0], prod.hi[mi, 0])).astype(object)
+        assert (got == expect).all()
+
+    s, d = dcrt_glwe_butterfly_mul(a, rhs, poly, base)
+    for mi, q in enumerate(base.moduli_ints):
+        av = from_u64_pair(U64(a.lo[mi, 0], a.hi[mi, 0])).astype(object)
+        rv = from_u64_pair(U64(rhs.lo[mi, 0], rhs.hi[mi, 0])).astype(object)
+        pv = from_u64_pair(U64(poly.lo[mi], poly.hi[mi])).astype(object)
+        assert (from_u64_pair(U64(s.lo[mi, 0], s.hi[mi, 0])).astype(object) == (av + rv) % q).all()
+        assert (from_u64_pair(U64(d.lo[mi, 0], d.hi[mi, 0])).astype(object) == ((av - rv) % q) * pv % q).all()

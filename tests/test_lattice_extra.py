@@ -267,3 +267,20 @@ def test_poly_ops():
     got = int(poly_evaluate32(ja, jnp.uint32(x), m))
     expect = sum(int(c) * pow(x, i, Q) for i, c in enumerate(a)) % Q
     assert got == expect
+
+
+def test_poly_mul_monomial64():
+    from primus_fhe_tpu.numeric import from_u64_pair, to_u64_pair
+    from primus_fhe_tpu.poly.poly import poly_mul_monomial64
+
+    q = 1125899906826241
+    n = 16
+    a = np.array([rng.randrange(q) for _ in range(n)], dtype=np.uint64)
+    uq = to_u64_pair(np.uint64(q))
+    for d in (0, 3, n, 2 * n - 1):
+        got = from_u64_pair(poly_mul_monomial64(to_u64_pair(a), jnp.int32(d), uq))
+        mono = [0] * n
+        dd = d % (2 * n)
+        mono[dd % n] = 1 if dd < n else q - 1
+        expect = naive_negacyclic_mul([int(x) for x in a], mono, q)
+        assert got.astype(object).tolist() == expect, d
