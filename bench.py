@@ -35,16 +35,28 @@ def main():
     data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
     # Preferred path: the fused Pallas kernel (VMEM-resident stages).
-    # Falls back to the jnp/XLA reference path off-TPU.
-    use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from primus_fhe_tpu.ops.ntt_pallas import PallasNttPlan64, pallas_forward64
+    # Falls back to the jnp/XLA reference path off-TPU or if the kernel
+    # fails to compile/run in this environment.
+    fwd_step = None
+    if jax.default_backend() == "tpu":
+        try:
+            from primus_fhe_tpu.ops.ntt_pallas import (
+                PallasNttPlan64,
+                pallas_forward64,
+            )
 
-        pplan = PallasNttPlan64(log_n, q)
+            pplan = PallasNttPlan64(log_n, q)
 
-        def fwd_step(_, v):
-            return pallas_forward64(pplan, v, 4, 16)
-    else:
+            def _pallas_step(_, v):
+                return pallas_forward64(pplan, v, 4, 16)
+
+            probe = jax.jit(lambda v: _pallas_step(None, v))(data)
+            jax.block_until_ready(probe)
+            fwd_step = _pallas_step
+            print("[bench] path=pallas", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - environment dependent
+            print(f"[bench] pallas path unavailable ({e!r}); XLA fallback", file=sys.stderr)
+    if fwd_step is None:
         jplan = build_plan64(log_n, q)
 
         def fwd_step(_, v):
