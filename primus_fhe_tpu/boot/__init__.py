@@ -1,6 +1,6 @@
 """Bootstrapping pipelines composed from the lattice layer."""
 
-from . import circuit_bootstrap, dcrt_blind_rotate, gates
+from . import circuit_bootstrap, dcrt_blind_rotate, gates, ntru_blind_rotate
 from .blind_rotate import (
     modulus_switch,
     blind_rotate,
@@ -13,6 +13,7 @@ __all__ = [
     "circuit_bootstrap",
     "dcrt_blind_rotate",
     "gates",
+    "ntru_blind_rotate",
     "modulus_switch",
     "blind_rotate",
     "bootstrap",

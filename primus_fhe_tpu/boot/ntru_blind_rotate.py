@@ -1,0 +1,285 @@
+"""NTRU (NGS / FINAL-style) blind rotation — the FHEW variant.
+
+The reference ships the NTRU container mechanics only
+(``crates/primus_lattice/src/ntru/{coeff,ntt}.rs``: NTT conversion,
+pointwise/scalar/factor multiply, ``c*f`` phase) and leaves the
+bootstrapping composition to callers (SURVEY.md §1).  This module is that
+composition, in the FINAL shape (Bonte et al., "FINAL: Faster FHE
+instantiated with NTRU and LWE"):
+
+- **scalar NTRU ciphertext** of a polynomial ``mu``: ``c = g/f + mu`` over
+  ``R_q = Z_q[X]/(X^N+1)`` with secret ``f = 1 + 4 f'`` (ternary ``f'``),
+  so the phase ``c*f = g + mu*f ≡ g + mu  (mod 4Δ ≈ q)`` decodes ``mu``;
+- **vector NGS ciphertext** of a bit ``s``: rows ``C_j = g_j/f + B^j s``
+  aligned with the gadget scalars of :class:`ApproxSignedBasis32`;
+- **external product** ``c ⊠ C = Σ_j digit_j(c) · C_j ≈ c·s + noise`` —
+  signed decomposition, one forward NTT per digit, pointwise MAC;
+- **CMux chain** ``acc ← acc + (X^{a_i} − 1) · (acc ⊠ EVK_i)``, i.e.
+  ``acc·X^{a_i s_i}`` — the monomial factor is applied *in the NTT
+  domain* (one pointwise multiply via the ordinal-root table) so each
+  step costs L forward NTTs + 1 inverse NTT, exactly mirroring the
+  RLWE path's transform economy;
+- **LWE extraction** under the key ``f`` (constant coefficient of
+  ``acc·f``), ready for an LWE→LWE key switch back to the caller's key.
+
+Everything is mod one NTT prime ``q < 2^30`` (uint32 path) — half the
+ciphertext size of an RLWE accumulator with the same N, the headline win
+of NTRU bootstrapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decompose.primitive import ApproxSignedBasis32
+from ..distr.sampling import DiscreteGaussian
+from ..modular.modops import (
+    add32,
+    barrett_lazy_reduce32,
+    dot32,
+    lazy_mul32,
+    neg32,
+    reduce_once32,
+    sub32,
+)
+from ..modular.modulus import BarrettModulus32, barrett32
+from ..transforms.ntt import forward32, inverse32, monomial32
+from ..transforms.plan import build_plan32
+
+_U32 = jnp.uint32
+
+
+class NtruContext:
+    """Static NTRU bootstrap context: ring plan, modulus record, gadget.
+
+    Plain class (identity hash) so it can ride ``jit`` static args, like
+    :class:`TorusConvolver32`.
+    """
+
+    def __init__(self, log_n: int, q: int, log_basis: int, level: int):
+        self.plan = build_plan32(log_n, q)
+        self.m = barrett32(q)
+        self.q_int = q
+        self.log_basis = log_basis
+        self.level = level
+        self.basis = ApproxSignedBasis32(q, log_basis, level)
+
+    @property
+    def n(self) -> int:
+        return self.plan.n
+
+
+def make_ntru_context(log_n: int, q: int, log_basis: int, level: int) -> NtruContext:
+    return NtruContext(log_n, q, log_basis, level)
+
+
+# ---------------------------------------------------------------------------
+# Key generation (cold path; pointwise inverse runs host-side, §3.1 pattern)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NtruSecret:
+    """``f = 1 + 4 f'`` with its NTT form and pointwise NTT-domain inverse."""
+
+    f: jnp.ndarray  # (N,) coeff mod q
+    f_ntt: jnp.ndarray  # (N,) canonical
+    f_inv_ntt: jnp.ndarray  # (N,) canonical
+
+
+def ntru_keygen(key, ctx: NtruContext) -> NtruSecret:
+    """Samples ternary ``f'``, retries until ``f = 1 + 4 f'`` is invertible.
+
+    Invertibility in ``R_q`` ⇔ every NTT coordinate is nonzero; the inverse
+    is the pointwise Fermat inverse computed exactly on the host (one-time
+    cost, like root-table construction).
+    """
+    q = ctx.q_int
+    n = ctx.n
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel())
+    for _ in range(64):
+        fp = rng.integers(-1, 2, size=n)
+        f = (4 * fp) % q
+        f[0] = (f[0] + 1) % q  # f = 1 + 4 f': the +1 is the constant term
+        f_dev = jnp.asarray(f.astype(np.uint32))
+        f_ntt = np.asarray(forward32(ctx.plan, f_dev))
+        if np.all(f_ntt != 0):
+            inv = np.array([pow(int(x), q - 2, q) for x in f_ntt], dtype=np.uint32)
+            return NtruSecret(
+                f=f_dev, f_ntt=jnp.asarray(f_ntt), f_inv_ntt=jnp.asarray(inv)
+            )
+    raise RuntimeError("no invertible NTRU secret found (q too small?)")
+
+
+# ---------------------------------------------------------------------------
+# Scalar / vector encryption
+# ---------------------------------------------------------------------------
+
+
+def ntru_encrypt_poly(key, ctx: NtruContext, sk: NtruSecret, mu, gaussian: DiscreteGaussian):
+    """``c = g/f + mu`` with Gaussian ``g`` (``mu``: (..., N) mod q)."""
+    g = gaussian.sample_mod(key, mu.shape, ctx.q_int)
+    gf = inverse32(ctx.plan, lazy_mul32(forward32(ctx.plan, g), sk.f_inv_ntt, ctx.m))
+    return add32(gf, jnp.asarray(mu, _U32), ctx.m.value)
+
+
+def ntru_phase(ctx: NtruContext, sk: NtruSecret, c):
+    """``c * f`` — decryption phase (ntru/ntt.rs:36-108 composite)."""
+    return inverse32(ctx.plan, lazy_mul32(forward32(ctx.plan, c), sk.f_ntt, ctx.m))
+
+
+def ngs_encrypt_bit(key, ctx: NtruContext, sk: NtruSecret, bit, gaussian: DiscreteGaussian):
+    """Vector NGS ciphertext of ``bit``: rows ``g_j/f + B^j·2^drop·bit``.
+
+    Returns coeff form ``(L, N)``; gadget scalars match the signed
+    decomposition so that ``c ⊠ rows ≈ c · bit``.
+    """
+    basis = ctx.basis
+    level = basis.decompose_length
+    n = ctx.n
+    scal = jnp.asarray(
+        np.array([s % ctx.q_int for s in basis.scalars], dtype=np.uint32)
+    )  # (L,)
+    bit = jnp.asarray(bit, _U32)
+    mu = jnp.zeros((level, n), dtype=_U32)
+    mu = mu.at[:, 0].set(lazy_mul32(scal, jnp.broadcast_to(bit, scal.shape), ctx.m))
+    mu = reduce_once32(mu, ctx.m.value)
+    keys = jax.random.split(key, level)
+    return jax.vmap(
+        lambda kk, row: ntru_encrypt_poly(kk, ctx, sk, row, gaussian)
+    )(keys, mu)
+
+
+def make_ntru_bootstrap_key(key, ctx: NtruContext, sk: NtruSecret, lwe_secret, gaussian):
+    """EVK_i = NGS(s_i) in NTT form, stacked ``(n_lwe, L, N)``.
+
+    ``lwe_secret``: (n_lwe,) bits as uint32 (binary LWE key, the FHEW/FINAL
+    setting).
+    """
+    n_lwe = int(lwe_secret.shape[0])
+    keys = jax.random.split(key, n_lwe)
+    evk = jax.vmap(
+        lambda kk, s_i: ngs_encrypt_bit(kk, ctx, sk, s_i, gaussian)
+    )(keys, lwe_secret)  # (n_lwe, L, N) coeff
+    return forward32(ctx.plan, evk)
+
+
+# ---------------------------------------------------------------------------
+# External product and blind rotation
+# ---------------------------------------------------------------------------
+
+
+def _external_product_ntt(ctx: NtruContext, basis, acc, evk_ntt_i):
+    """NTT-domain ``acc ⊠ EVK_i``: decompose → NTT → MAC.
+
+    ``acc``: ``(..., N)`` coeff mod q; ``evk_ntt_i``: ``(L, N)``.
+    Returns the NTT-domain product ``(..., N)`` canonical.
+
+    MAC uses the wrap-exact raw-u32 accumulation (canonical terms < q <
+    2^30 sum exactly in uint32 up to 4 terms before one Barrett pass) —
+    the same trick as the RLWE tail (`lattice/tfhe.py`).
+    """
+    level = basis.decompose_length
+    digits = basis.decompose(acc)  # (L, ..., N) canonical mod q
+    f = forward32(ctx.plan, digits)  # (L, ..., N) canonical
+    acc_sum = None
+    pending = 0
+    for l in range(level):
+        t = lazy_mul32(f[l], evk_ntt_i[l], ctx.m)
+        t = reduce_once32(t, ctx.m.value)
+        if acc_sum is None:
+            acc_sum, pending = t, 1
+        else:
+            if pending == 4:
+                acc_sum = reduce_once32(
+                    barrett_lazy_reduce32(acc_sum, ctx.m), ctx.m.value
+                )
+                pending = 1
+            acc_sum = acc_sum + t
+            pending += 1
+    return reduce_once32(barrett_lazy_reduce32(acc_sum, ctx.m), ctx.m.value)
+
+
+def rotate_poly_q(poly, degree, n: int, q):
+    """``poly * X^degree`` mod ``(X^N + 1, q)`` — conditional static rolls.
+
+    Same bit-chain strategy as the torus path (`boot/blind_rotate._rotate_glwe`):
+    one static negacyclic shift + select per bit of ``degree mod 2N``; the
+    wrap negation is mod-q (``X^N = -1``).  ``degree`` broadcasts against
+    ``poly.shape[:-1]``.
+    """
+    d = jnp.asarray(degree, jnp.int32) % (2 * n)
+    v = poly
+    for b in range(n.bit_length()):
+        k = 1 << b
+        if k == n:
+            rolled = neg32(v, q)
+        else:
+            head = neg32(v[..., n - k :], q)
+            rolled = jnp.concatenate([head, v[..., : n - k]], axis=-1)
+        take = ((d >> b) & 1)[..., None] == 1
+        v = jnp.where(take, rolled, v)
+    return v
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def ntru_blind_rotate(ctx: NtruContext, evk_ntt, lwe_switched, test_poly):
+    """Returns the rotated accumulator ``(..., N)`` mod q.
+
+    ``evk_ntt``: ``(n_lwe, L, N)``; ``lwe_switched``: ``(..., n_lwe+1)``
+    int32 mod 2N; ``test_poly``: ``(N,)`` mod q (typically ``Δ·v``).
+
+    ``acc = v·X^{-b}``; per mask element
+    ``acc ← acc + INTT(NTT-MAC(acc ⊠ EVK_i) ⊙ (ψ-mono(a_i) − 1))``
+    — the ``(X^{a_i} − 1)`` factor rides the NTT domain for free.
+    """
+    n_lwe = evk_ntt.shape[0]
+    n = ctx.n
+    basis = ctx.basis
+    batch = lwe_switched.shape[:-1]
+
+    b = lwe_switched[..., n_lwe]
+    acc = rotate_poly_q(jnp.broadcast_to(test_poly, batch + (n,)), -b, n, ctx.m.value)
+
+    def body(acc, x):
+        a_i, evk_i = x
+        ep = _external_product_ntt(ctx, basis, acc, evk_i)  # NTT domain
+        mono = monomial32(ctx.plan, a_i)  # (..., N) via broadcasting degree
+        factor = sub32(mono, jnp.ones_like(mono), ctx.m.value)
+        delta = inverse32(ctx.plan, lazy_mul32(ep, factor, ctx.m))
+        return add32(acc, delta, ctx.m.value), None
+
+    a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)  # (n_lwe, ...)
+    if batch:
+        a_t = a_t[..., None]  # broadcast degree over the coefficient axis
+    acc, _ = jax.lax.scan(body, acc, (a_t, evk_ntt))
+    return acc
+
+
+def extract_lwe_ntru(acc, q):
+    """NTRU accumulator → LWE sample under the key ``f`` (b = 0).
+
+    ``phase = (acc·f)(0) = Σ_j a_j f_j`` with ``a = (acc_0, −acc_{N−1},
+    …, −acc_1)`` — the negacyclic constant-coefficient arrangement
+    (mirrors ``Rlwe::extract_lwe``, rlwe/coeff.rs:194-230, with the mask
+    being the ciphertext itself).
+    """
+    head = acc[..., :1]
+    tail = neg32(jnp.flip(acc[..., 1:], axis=-1), q)
+    return jnp.concatenate([head, tail], axis=-1)
+
+
+def lwe_phase_q(a, f, m: BarrettModulus32):
+    """``Σ a_j f_j mod q`` — LWE phase under the NTRU key coefficients."""
+    return dot32(a, jnp.broadcast_to(f, a.shape), m)
+
+
+def ntru_test_polynomial(n: int, q: int, delta: int) -> jnp.ndarray:
+    """Constant sign-test vector ``Δ·Σ X^i`` (gate-bootstrap test poly)."""
+    return jnp.full((n,), np.uint32(delta % q), dtype=_U32)
