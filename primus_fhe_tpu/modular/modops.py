@@ -277,3 +277,138 @@ def dot64(a: U64, b: U64, m: BarrettModulus64, axis: int = -1) -> U64:
     lo = U64(s0, w1)
     hi = U64(c1 + carry1, jnp.zeros_like(s0))
     return reduce_once64(barrett_lazy_reduce_wide64(lo, hi, m), m.value)
+
+
+# ===========================================================================
+# exponentiation / inversion / division
+# (ReduceExp / ReduceExpPowOf2 / ReduceInv / ReduceDiv —
+#  crates/primus_reduce/src/ops.rs:210-343; FieldContext common.rs:97-151)
+# ===========================================================================
+
+
+def exp32(a, e, m: BarrettModulus32):
+    """``a^e mod q`` canonical.
+
+    A static (Python int) exponent unrolls the square-and-multiply ladder at
+    trace time (the common case: Fermat inverses, root powers); a traced
+    uint32 exponent runs the fixed 32-step ladder with selects.
+    """
+    if isinstance(e, int) or hasattr(e, "__index__") and not hasattr(e, "shape"):
+        e = int(e)
+        assert e >= 0
+        result = None
+        acc = a
+        while e:
+            if e & 1:
+                result = acc if result is None else mul32(result, acc, m)
+            e >>= 1
+            if e:
+                acc = sqr32(acc, m)
+        if result is None:
+            return jnp.broadcast_to(jnp.uint32(1), jnp.shape(a)).astype(_U32)
+        return result
+    e = jnp.asarray(e, _U32)
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(e))
+    result = jnp.broadcast_to(jnp.uint32(1), shape).astype(_U32)
+    acc = jnp.broadcast_to(a, shape)
+    for i in range(32):
+        bit = (e >> i) & 1
+        result = jnp.where(bit == 1, mul32(result, acc, m), result)
+        acc = sqr32(acc, m)
+    return result
+
+
+def exp_pow_of_2_32(a, log_e: int, m: BarrettModulus32):
+    """``a^(2^log_e) mod q`` — ``log_e`` repeated squarings (static)."""
+    for _ in range(log_e):
+        a = sqr32(a, m)
+    return a
+
+
+def inv32(a, m: BarrettModulus32, q: int):
+    """Fermat inverse ``a^(q-2) mod q`` — requires **prime** q (the
+    FieldContext contract).  ``inv32(0) = 0`` (the reference errors; the
+    vectorized kernel leaves zero fixed — callers check when it matters)."""
+    return exp32(a, q - 2, m)
+
+
+def div32(a, b, m: BarrettModulus32, q: int):
+    """``a / b mod q`` for prime q (``ReduceDiv``)."""
+    return mul32(a, inv32(b, m, q), m)
+
+
+def exp64(a: U64, e, m: BarrettModulus64) -> U64:
+    """``a^e mod q`` over U64 pairs; static int ``e`` only (plan-time powers,
+    Fermat inverses — exponent is always a known modulus-derived constant)."""
+    e = int(e)
+    assert e >= 0
+    result = None
+    acc = a
+    while e:
+        if e & 1:
+            result = acc if result is None else mul64(result, acc, m)
+        e >>= 1
+        if e:
+            acc = sqr64(acc, m)
+    if result is None:
+        one = jnp.broadcast_to(jnp.uint32(1), jnp.shape(a.lo)).astype(_U32)
+        return U64(one, jnp.zeros_like(one))
+    return result
+
+
+def exp_pow_of_2_64(a: U64, log_e: int, m: BarrettModulus64) -> U64:
+    for _ in range(log_e):
+        a = sqr64(a, m)
+    return a
+
+
+def inv64(a: U64, m: BarrettModulus64, q: int) -> U64:
+    """Fermat inverse over U64 pairs — prime q (``inv64(0) = 0``)."""
+    return exp64(a, q - 2, m)
+
+
+def div64(a: U64, b: U64, m: BarrettModulus64, q: int) -> U64:
+    return mul64(a, inv64(b, m, q), m)
+
+
+# ===========================================================================
+# UintModulus fallback multiply — arbitrary q, no Barrett ratio
+# (``crates/primus_modulus/src/uint/mod.rs:11-43`` + common/uint kernels:
+#  the any-modulus compare-subtract tier; callers preferring speed use
+#  BarrettModulus. Exact for ANY q, prime or not, even or odd.)
+# ===========================================================================
+
+
+def uint_mul32(a, b, q):
+    """``a * b mod q`` for arbitrary ``q < 2^31`` via shift-subtract.
+
+    64 unrolled conditional-subtract steps over the wide product — the slow
+    generic tier (the reference's ``UintModulus`` mul); ``q`` may be an
+    array (broadcasts).
+    """
+    lo, hi = mul_wide_u32(a, b)
+    q = jnp.asarray(q, _U32)
+    r = jnp.zeros_like(lo)
+    for i in range(63, -1, -1):
+        bit = ((hi >> (i - 32)) if i >= 32 else (lo >> i)) & _U32(1)
+        r = (r << 1) | bit
+        r = jnp.where(r >= q, r - q, r)
+    return r
+
+
+def uint_mul64(a: U64, b: U64, q: U64) -> U64:
+    """``a * b mod q`` for arbitrary ``q < 2^63`` via shift-subtract
+    (128 unrolled steps over the 128-bit product)."""
+    lo, hi = u64_mul_wide(a, b)
+    r = u64_zeros_like(lo)
+    for i in range(127, -1, -1):
+        word = hi if i >= 64 else lo
+        j = i % 64
+        bit = (word.lo >> j if j < 32 else word.hi >> (j - 32)) & _U32(1)
+        r = U64((r.lo << 1) | bit, (r.hi << 1) | (r.lo >> 31))
+        r = u64_select(u64_ge(r, q), u64_sub(r, q), r)
+    return r
+
+
+def u64_zeros_like(x: U64) -> U64:
+    return U64(jnp.zeros_like(x.lo), jnp.zeros_like(x.hi))
