@@ -1,6 +1,6 @@
 """Bootstrapping pipelines composed from the lattice layer."""
 
-from . import circuit_bootstrap, dcrt_blind_rotate, gates, ntru_blind_rotate
+from . import circuit_bootstrap, dcrt_blind_rotate, gates, ntru_blind_rotate, ntru_gates
 from .blind_rotate import (
     modulus_switch,
     blind_rotate,
@@ -14,6 +14,7 @@ __all__ = [
     "dcrt_blind_rotate",
     "gates",
     "ntru_blind_rotate",
+    "ntru_gates",
     "modulus_switch",
     "blind_rotate",
     "bootstrap",

@@ -61,12 +61,16 @@ class NtruContext:
     :class:`TorusConvolver32`.
     """
 
-    def __init__(self, log_n: int, q: int, log_basis: int, level: int):
+    def __init__(self, log_n: int, q: int, log_basis: int, level: int, t_scale: int = 4):
+        if (q - 1) % t_scale != 0:
+            raise ValueError("t_scale must divide q - 1 (q ≡ 1 mod 2N covers 4/8/…)")
         self.plan = build_plan32(log_n, q)
         self.m = barrett32(q)
         self.q_int = q
         self.log_basis = log_basis
         self.level = level
+        self.t_scale = t_scale  # f = 1 + t·f'; messages live in ((q-1)/t)·Z_t
+        self.delta = (q - 1) // t_scale
         self.basis = ApproxSignedBasis32(q, log_basis, level)
 
     @property
@@ -94,19 +98,22 @@ class NtruSecret:
 
 
 def ntru_keygen(key, ctx: NtruContext) -> NtruSecret:
-    """Samples ternary ``f'``, retries until ``f = 1 + 4 f'`` is invertible.
+    """Samples ternary ``f'``, retries until ``f = 1 + t·f'`` is invertible.
 
-    Invertibility in ``R_q`` ⇔ every NTT coordinate is nonzero; the inverse
-    is the pointwise Fermat inverse computed exactly on the host (one-time
-    cost, like root-table construction).
+    ``t = ctx.t_scale`` (4 for 2-bit messages, 8 for boolean-gate ±q/8
+    encodings).  The phase trick: for ``mu = c·(q-1)/t``, ``t·mu ≡ -c`` so
+    ``mu·f ≡ mu - c·f' (mod q)`` — message preserved up to a ternary-small
+    error.  Invertibility in ``R_q`` ⇔ every NTT coordinate is nonzero; the
+    inverse is the pointwise Fermat inverse computed exactly on the host
+    (one-time cost, like root-table construction).
     """
     q = ctx.q_int
     n = ctx.n
     rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).ravel())
     for _ in range(64):
         fp = rng.integers(-1, 2, size=n)
-        f = (4 * fp) % q
-        f[0] = (f[0] + 1) % q  # f = 1 + 4 f': the +1 is the constant term
+        f = (ctx.t_scale * fp) % q
+        f[0] = (f[0] + 1) % q  # f = 1 + t·f': the +1 is the constant term
         f_dev = jnp.asarray(f.astype(np.uint32))
         f_ntt = np.asarray(forward32(ctx.plan, f_dev))
         if np.all(f_ntt != 0):
@@ -283,3 +290,95 @@ def lwe_phase_q(a, f, m: BarrettModulus32):
 def ntru_test_polynomial(n: int, q: int, delta: int) -> jnp.ndarray:
     """Constant sign-test vector ``Δ·Σ X^i`` (gate-bootstrap test poly)."""
     return jnp.full((n,), np.uint32(delta % q), dtype=_U32)
+
+
+# ---------------------------------------------------------------------------
+# Modulus switch (q -> 2N) and LWE key switch (f -> s), all mod q
+# ---------------------------------------------------------------------------
+
+
+def _barrett_quotient_wide32(lo, hi, m: BarrettModulus32):
+    """``floor((hi·2^32 + lo) / q)`` up to −1 (paired with a single
+    compare-correct) — the quotient side of the reference's wide-reduce
+    diagram (barrett/mod.rs:99-132)."""
+    from ..numeric.limb import mul_wide_u32, mulhi_u32
+
+    ah = mulhi_u32(lo, m.ratio_lo)
+    b_lo, b_hi = mul_wide_u32(lo, m.ratio_hi)
+    b_lo2 = b_lo + ah
+    b_hi = b_hi + (b_lo2 < b_lo).astype(_U32)
+    c_lo, c_hi = mul_wide_u32(hi, m.ratio_lo)
+    d = hi * m.ratio_hi
+    s = b_lo2 + c_lo
+    carry = (s < b_lo2).astype(_U32)
+    return d + b_hi + c_hi + carry
+
+
+def modulus_switch_q(lwe_q, ctx: NtruContext, log_2n: int):
+    """Round-to-nearest rescale ``Z_q -> Z_{2N}``: ``round(x·2N/q) mod 2N``.
+
+    Exact integer arithmetic: wide product, +q/2, Barrett quotient with one
+    compare-correct (the quotient analogue of ``lazy_reduce_wide``).
+    """
+    from ..numeric.limb import mul_wide_u32
+
+    two_n = jnp.uint32(1 << log_2n)
+    lo, hi = mul_wide_u32(jnp.asarray(lwe_q, _U32), two_n)
+    half = jnp.uint32(ctx.q_int // 2)
+    lo2 = lo + half
+    hi = hi + (lo2 < lo).astype(_U32)
+    q_hat = _barrett_quotient_wide32(lo2, hi, ctx.m)
+    r = lo2 - q_hat * ctx.m.value  # [0, 2q)
+    q_hat = q_hat + (r >= ctx.m.value).astype(_U32)
+    return (q_hat & ((1 << log_2n) - 1)).astype(jnp.int32)
+
+
+def make_ntru_keyswitch_key(
+    key, ctx: NtruContext, sk: NtruSecret, secret_out, ks_basis, gaussian
+):
+    """KSK ``(N, level, n_out + 1)`` mod q: ``KSK[i,l] = LWE_s(f_i·B^l·2^drop)``.
+
+    The mod-q mirror of the torus key switch (`lattice/keyswitch.py`);
+    ``secret_out``: (n_out,) binary.
+    """
+    from ..distr.sampling import sample_uniform
+    from ..modular.modops import sum_mod32
+
+    n_in = ctx.n
+    n_out = int(secret_out.shape[0])
+    level = ks_basis.decompose_length
+    ka, ke = jax.random.split(key)
+    a = sample_uniform(ka, (n_in, level, n_out), ctx.q_int)
+    e = gaussian.sample_mod(ke, (n_in, level), ctx.q_int)
+    scal = jnp.asarray(
+        np.array([s % ctx.q_int for s in ks_basis.scalars], dtype=np.uint32)
+    )
+    msg = reduce_once32(
+        lazy_mul32(sk.f[:, None], scal[None, :], ctx.m), ctx.m.value
+    )  # (n_in, level)
+    asum = sum_mod32(a * secret_out[None, None, :], ctx.m, axis=-1)
+    b = add32(add32(asum, msg, ctx.m.value), e, ctx.m.value)
+    return jnp.concatenate([a, b[..., None]], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def ntru_key_switch(ctx: NtruContext, lwe, ksk, ks_basis):
+    """``(..., N + 1)`` LWE under ``f`` -> ``(..., n_out + 1)`` under ``s``.
+
+    ``out = (0…0, b) − Σ_{i,l} digit_l(a_i) · KSK[i,l]`` mod q.
+    """
+    from ..modular.modops import sum_mod32
+
+    n_in, level, n_out1 = ksk.shape
+    a = lwe[..., :n_in]
+    b = lwe[..., n_in]
+    digits = ks_basis.decompose(a)  # (level, ..., n_in) mod q
+    digits = jnp.moveaxis(digits, 0, -1)  # (..., n_in, level)
+    m_x = jax.tree.map(lambda x: x.reshape((1,) * 3), ctx.m)
+    prod = reduce_once32(
+        lazy_mul32(digits[..., None], ksk, m_x), ctx.m.value
+    )  # (..., n_in, level, n_out+1)
+    acc = sum_mod32(prod, ctx.m, axis=(-3, -2))
+    out = jnp.zeros(lwe.shape[:-1] + (n_out1,), dtype=_U32)
+    out = out.at[..., -1].set(b)
+    return sub32(out, acc, ctx.m.value)
