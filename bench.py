@@ -80,7 +80,7 @@ def main():
     # The remote-device runtime has multi-second fixed dispatch/fetch
     # latency, so throughput is measured from the *difference* between two
     # workload sizes, cancelling the constant overhead.
-    r1, r2 = 64, 1024
+    r1, r2 = 64, 2048
     _ = float(chained(data, r1))  # warmup/compile small
     _ = float(chained(data, r2))  # warmup/compile large
     t0 = time.perf_counter()

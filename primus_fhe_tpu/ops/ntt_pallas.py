@@ -120,11 +120,29 @@ def _mul_lo64(alo, ahi, blo, bhi):
     return lo, hi + alo * bhi + ahi * blo
 
 
+def _mul_wide_limbs(a, a0, a1, b, b0, b1):
+    """``mul_wide_u32`` with caller-hoisted 16-bit limbs (shared across the
+    four cross products of a 64x64 multiply)."""
+    ll = a0 * b0
+    m1 = a1 * b0 + (ll >> 16)
+    m2 = a0 * b1 + (m1 & 0xFFFF)
+    hi = a1 * b1 + (m1 >> 16) + (m2 >> 16)
+    return a * b, hi
+
+
 def _mul_hi64(alo, ahi, blo, bhi):
-    l00, h00 = _mul_wide_u32(alo, blo)
-    l01, h01 = _mul_wide_u32(alo, bhi)
-    l10, h10 = _mul_wide_u32(ahi, blo)
-    l11, h11 = _mul_wide_u32(ahi, bhi)
+    a0 = alo & 0xFFFF
+    a1 = alo >> 16
+    a2 = ahi & 0xFFFF
+    a3 = ahi >> 16
+    b0 = blo & 0xFFFF
+    b1 = blo >> 16
+    b2 = bhi & 0xFFFF
+    b3 = bhi >> 16
+    l00, h00 = _mul_wide_limbs(alo, a0, a1, blo, b0, b1)
+    l01, h01 = _mul_wide_limbs(alo, a0, a1, bhi, b2, b3)
+    l10, h10 = _mul_wide_limbs(ahi, a2, a3, blo, b0, b1)
+    l11, h11 = _mul_wide_limbs(ahi, a2, a3, bhi, b2, b3)
     s1 = h00 + l01
     c1 = (s1 < h00).astype(_U32)
     r1 = s1 + l10
@@ -158,11 +176,91 @@ def _min64(alo, ahi, blo, bhi):
     return jnp.where(take, alo, blo), jnp.where(take, ahi, bhi)
 
 
-def _shoup_lazy64(ylo, yhi, wlo, whi, plo, phi, qlo, qhi):
-    hlo, hhi = _mul_hi64(ylo, yhi, plo, phi)
-    wy_lo, wy_hi = _mul_lo64(wlo, whi, ylo, yhi)
-    qq_lo, qq_hi = _mul_lo64(qlo, qhi, hlo, hhi)
-    return _sub64(wy_lo, wy_hi, qq_lo, qq_hi)
+def _solinas_form(q: int):
+    """Returns ``(a, b)`` if ``q == 2^a - 2^b + 1`` (the common NTT-prime
+    shape, e.g. both reference bench primes), else ``None``.  Such q admit
+    a multiply-free ``q * x mod 2^64``: ``(x<<a) - (x<<b) + x``."""
+    a = q.bit_length()
+    rest = (1 << a) - q + 1
+    if rest > 0 and rest & (rest - 1) == 0:
+        b = rest.bit_length() - 1
+        if 1 <= b < a < 64 and (1 << a) - (1 << b) + 1 == q:
+            return a, b
+    return None
+
+
+def _shl64(xlo, xhi, k: int):
+    """``x << k mod 2^64`` on (lo, hi) u32 pairs; static k in [0, 64)."""
+    if k == 0:
+        return xlo, xhi
+    if k < 32:
+        return xlo << k, (xhi << k) | (xlo >> (32 - k))
+    if k == 32:
+        return jnp.zeros_like(xlo), xlo
+    return jnp.zeros_like(xlo), xlo << (k - 32)
+
+
+def _make_shoup_lazy64(q: int, exact: bool = True):
+    """Builds the lazy Shoup multiply ``w*y - q*hi(precon*y)``.
+
+    The 16-bit limbs of ``y`` are extracted once and shared between the
+    ``precon*y`` hi-product and the ``w*y`` lo-product.  When q is a
+    Solinas prime ``2^a - 2^b + 1`` (both reference bench primes are),
+    ``q * q_hat mod 2^64`` becomes shifts+adds — the integer analogue of
+    HEXL's special-prime path.
+
+    ``exact=False`` drops the low cross-product and its carry chain from
+    the quotient (q_hat may be under by <= 2, so the result lands in
+    ``[0, 4q)`` instead of ``[0, 2q)``) — only valid when the caller's
+    range accounting absorbs the wider output (the deferred-reduction
+    kernels do)."""
+    sol = _solinas_form(q)
+
+    def shoup(ylo, yhi, wlo, whi, plo, phi, qlo, qhi):
+        y0 = ylo & 0xFFFF
+        y1 = ylo >> 16
+        y2 = yhi & 0xFFFF
+        y3 = yhi >> 16
+        p0 = plo & 0xFFFF
+        p1 = plo >> 16
+        p2 = phi & 0xFFFF
+        p3 = phi >> 16
+        # hi64(y * precon): exact keeps the [2^32] column carry; approx
+        # drops product 00 and the column-32 carries entirely.
+        l01, h01 = _mul_wide_limbs(ylo, y0, y1, phi, p2, p3)
+        l10, h10 = _mul_wide_limbs(yhi, y2, y3, plo, p0, p1)
+        l11, h11 = _mul_wide_limbs(yhi, y2, y3, phi, p2, p3)
+        s2 = h01 + h10
+        c2 = (s2 < h01).astype(_U32)
+        s2b = s2 + l11
+        c2 = c2 + (s2b < s2).astype(_U32)
+        if exact:
+            _, h00 = _mul_wide_limbs(ylo, y0, y1, plo, p0, p1)
+            s1 = h00 + l01
+            c1 = (s1 < h00).astype(_U32)
+            r1 = s1 + l10
+            c1 = c1 + (r1 < s1).astype(_U32)
+            hlo = s2b + c1
+            c2 = c2 + (hlo < s2b).astype(_U32)
+        else:
+            hlo = s2b
+        hhi = h11 + c2
+        # lo64(w * y), reusing y limbs
+        w0 = wlo & 0xFFFF
+        w1 = wlo >> 16
+        wy_lo, wy_hi0 = _mul_wide_limbs(wlo, w0, w1, ylo, y0, y1)
+        wy_hi = wy_hi0 + wlo * yhi + whi * ylo
+        if sol is None:
+            qq_lo, qq_hi = _mul_lo64(qlo, qhi, hlo, hhi)
+        else:
+            a, b = sol
+            s1lo, s1hi = _shl64(hlo, hhi, a)
+            s2lo, s2hi = _shl64(hlo, hhi, b)
+            qq_lo, qq_hi = _sub64(s1lo, s1hi, s2lo, s2hi)
+            qq_lo, qq_hi = _add64(qq_lo, qq_hi, hlo, hhi)
+        return _sub64(wy_lo, wy_hi, qq_lo, qq_hi)
+
+    return shoup
 
 
 def _reduce_once64(xlo, xhi, qlo, qhi):
@@ -175,22 +273,42 @@ def _reduce_once64(xlo, xhi, qlo, qhi):
 # ---------------------------------------------------------------------------
 
 
+def _const64(value: int):
+    return (
+        jnp.full((1, 1), np.uint32(value & 0xFFFFFFFF), _U32),
+        jnp.full((1, 1), np.uint32((value >> 32) & 0xFFFFFFFF), _U32),
+    )
+
+
+def _reduce_chain64(vlo, vhi, q: int, bound: int, target: int):
+    """Conditional-subtract chain taking values < ``bound*q`` down to
+    ``< target*q`` (both power-of-two unit counts)."""
+    cp = 1 << (bound - 1).bit_length()
+    while cp > target:
+        cp //= 2
+        klo, khi = _const64(cp * q)
+        vlo, vhi = _reduce_once64(vlo, vhi, klo, khi)
+    return vlo, vhi
+
+
 def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
     n = 1 << log_n
-    q_lo = np.uint32(q & 0xFFFFFFFF)
-    q_hi = np.uint32((q >> 32) & 0xFFFFFFFF)
-    tq = 2 * q
-    tq_lo = np.uint32(tq & 0xFFFFFFFF)
-    tq_hi = np.uint32((tq >> 32) & 0xFFFFFFFF)
+    # Deferred lazy ranges: the Shoup quotient estimate is valid for ANY
+    # y < 2^64, and each butterfly adds at most 4q (approximate-quotient
+    # multiply, m < 4q), so the per-stage reduce_once is unnecessary while
+    # (4 + 4*stages)*q < 2^64 — one conditional-subtract chain at the end
+    # restores the [0,4q) contract.
+    defer = (4 + 4 * log_n) * q < (1 << 64)
+    _shoup = _make_shoup_lazy64(q, exact=not defer)
 
     def kernel(wlo_ref, whi_ref, plo_ref, phi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
         vlo = vlo_ref[:]
         vhi = vhi_ref[:]
         iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
-        qlo = jnp.full((1, 1), q_lo, _U32)
-        qhi = jnp.full((1, 1), q_hi, _U32)
-        tqlo = jnp.full((1, 1), tq_lo, _U32)
-        tqhi = jnp.full((1, 1), tq_hi, _U32)
+        qlo, qhi = _const64(q)
+        tqlo, tqhi = _const64(2 * q)
+        # m < 4q in approximate (deferred) mode, < 2q in exact mode.
+        mqlo, mqhi = _const64(4 * q if defer else 2 * q)
         for s in range(log_n):
             t = n >> (s + 1)
             is_x = (iota & t) == 0
@@ -198,21 +316,23 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
             whi = whi_ref[s, :][None]
             plo = plo_ref[s, :][None]
             phi = phi_ref[s, :][None]
-            r_lo_m = pltpu.roll(vlo, n - t, 1)  # v[p+t] (cyclic -t)
-            r_hi_m = pltpu.roll(vhi, n - t, 1)
-            r_lo_p = pltpu.roll(vlo, t, 1)  # v[p-t]
-            r_hi_p = pltpu.roll(vhi, t, 1)
-            xlo = jnp.where(is_x, vlo, r_lo_p)
-            xhi = jnp.where(is_x, vhi, r_hi_p)
-            ylo = jnp.where(is_x, r_lo_m, vlo)
-            yhi = jnp.where(is_x, r_hi_m, vhi)
-            txlo, txhi = _reduce_once64(xlo, xhi, tqlo, tqhi)
-            mlo, mhi = _shoup_lazy64(ylo, yhi, wlo, whi, plo, phi, qlo, qhi)
+            # Compute the whole butterfly at the x lanes (the per-lane root
+            # table repeats the pair's root at both lanes), then roll the
+            # y' outputs into place — halves the selects per stage.
+            ylo = pltpu.roll(vlo, n - t, 1)  # v[p+t] seen from lane p
+            yhi = pltpu.roll(vhi, n - t, 1)
+            if defer:
+                txlo, txhi = vlo, vhi
+            else:
+                txlo, txhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
+            mlo, mhi = _shoup(ylo, yhi, wlo, whi, plo, phi, qlo, qhi)
             alo, ahi = _add64(txlo, txhi, mlo, mhi)  # x' = tx + m
-            s1lo, s1hi = _add64(txlo, txhi, tqlo, tqhi)
-            blo, bhi = _sub64(s1lo, s1hi, mlo, mhi)  # y' = tx + 2q - m
-            vlo = jnp.where(is_x, alo, blo)
-            vhi = jnp.where(is_x, ahi, bhi)
+            s1lo, s1hi = _sub64(mqlo, mqhi, mlo, mhi)  # (2q|4q) - m > 0
+            blo, bhi = _add64(txlo, txhi, s1lo, s1hi)  # y' = tx + kq - m
+            vlo = jnp.where(is_x, alo, pltpu.roll(blo, t, 1))
+            vhi = jnp.where(is_x, ahi, pltpu.roll(bhi, t, 1))
+        if defer:
+            vlo, vhi = _reduce_chain64(vlo, vhi, q, 4 + 4 * log_n, 4)
         if out_factor == 1:
             vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
             vlo, vhi = _reduce_once64(vlo, vhi, qlo, qhi)
@@ -224,67 +344,55 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
 
 def _make_inv_kernel(log_n: int, q: int, out_factor: int):
     n = 1 << log_n
-    q_lo = np.uint32(q & 0xFFFFFFFF)
-    q_hi = np.uint32((q >> 32) & 0xFFFFFFFF)
-    tq = 2 * q
-    tq_lo = np.uint32(tq & 0xFFFFFFFF)
-    tq_hi = np.uint32((tq >> 32) & 0xFFFFFFFF)
+    # Approximate-quotient multiply: y' lanes reset to < 4q; x' = x + y
+    # doubles the bound each stage.  Reduce with a conditional-subtract
+    # chain only when the next stage would overflow 2^64 — for 50-bit q
+    # and n <= 2^12 that is never.
+    _shoup = _make_shoup_lazy64(q, exact=False)
+    limit = 1 << 64
 
     def kernel(wlo_ref, whi_ref, plo_ref, phi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
         vlo = vlo_ref[:]
         vhi = vhi_ref[:]
         iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
-        qlo = jnp.full((1, 1), q_lo, _U32)
-        qhi = jnp.full((1, 1), q_hi, _U32)
-        tqlo = jnp.full((1, 1), tq_lo, _U32)
-        tqhi = jnp.full((1, 1), tq_hi, _U32)
-        for s in range(log_n - 1):
-            t = 1 << s
+        qlo, qhi = _const64(q)
+        tqlo, tqhi = _const64(2 * q)
+        c = 2  # current uniform bound, in units of q ([0, 2q) input contract)
+        for s in range(log_n):
+            last = s == log_n - 1
+            t = (1 << s) if not last else (n >> 1)
             is_x = (iota & t) == 0
             wlo = wlo_ref[s, :][None]
             whi = whi_ref[s, :][None]
             plo = plo_ref[s, :][None]
             phi = phi_ref[s, :][None]
-            r_lo_m = pltpu.roll(vlo, n - t, 1)
-            r_hi_m = pltpu.roll(vhi, n - t, 1)
-            r_lo_p = pltpu.roll(vlo, t, 1)
-            r_hi_p = pltpu.roll(vhi, t, 1)
-            xlo = jnp.where(is_x, vlo, r_lo_p)
-            xhi = jnp.where(is_x, vhi, r_hi_p)
-            ylo = jnp.where(is_x, r_lo_m, vlo)
-            yhi = jnp.where(is_x, r_hi_m, vhi)
-            slo, shi = _add64(xlo, xhi, ylo, yhi)
-            txlo, txhi = _reduce_once64(slo, shi, tqlo, tqhi)
-            d1lo, d1hi = _add64(xlo, xhi, tqlo, tqhi)
-            dlo, dhi = _sub64(d1lo, d1hi, ylo, yhi)
-            mlo, mhi = _shoup_lazy64(dlo, dhi, wlo, whi, plo, phi, qlo, qhi)
-            vlo = jnp.where(is_x, txlo, mlo)
-            vhi = jnp.where(is_x, txhi, mhi)
-        # final fused stage: pairs are (p, p + n/2); table row log_n-1 holds
-        # inv_n on the x half and inv_n_w on the y half.
-        half = n >> 1
-        s = log_n - 1
-        is_x = (iota & half) == 0
-        wlo = wlo_ref[s, :][None]
-        whi = whi_ref[s, :][None]
-        plo = plo_ref[s, :][None]
-        phi = phi_ref[s, :][None]
-        r_lo_m = pltpu.roll(vlo, n - half, 1)
-        r_hi_m = pltpu.roll(vhi, n - half, 1)
-        r_lo_p = pltpu.roll(vlo, half, 1)
-        r_hi_p = pltpu.roll(vhi, half, 1)
-        xlo = jnp.where(is_x, vlo, r_lo_p)
-        xhi = jnp.where(is_x, vhi, r_hi_p)
-        ylo = jnp.where(is_x, r_lo_m, vlo)
-        yhi = jnp.where(is_x, r_hi_m, vhi)
-        slo, shi = _add64(xlo, xhi, ylo, yhi)
-        txlo, txhi = _reduce_once64(slo, shi, tqlo, tqhi)
-        d1lo, d1hi = _add64(xlo, xhi, tqlo, tqhi)
-        dlo, dhi = _sub64(d1lo, d1hi, ylo, yhi)
-        # x half: tx * inv_n ; y half: (x + 2q - y) * inv_n_w — both lazy.
-        inlo = jnp.where(is_x, txlo, dlo)
-        inhi = jnp.where(is_x, txhi, dhi)
-        vlo, vhi = _shoup_lazy64(inlo, inhi, wlo, whi, plo, phi, qlo, qhi)
+            if 2 * c * q >= limit:
+                vlo, vhi = _reduce_chain64(vlo, vhi, q, c, 2)
+                c = 2
+            # x-lane formulation: y = v[p+t] via one roll; y' rolls back.
+            ylo = pltpu.roll(vlo, n - t, 1)
+            yhi = pltpu.roll(vhi, n - t, 1)
+            slo, shi = _add64(vlo, vhi, ylo, yhi)  # x' raw, < 2c*q
+            cqlo, cqhi = _const64(c * q)
+            d1lo, d1hi = _add64(vlo, vhi, cqlo, cqhi)
+            dlo, dhi = _sub64(d1lo, d1hi, ylo, yhi)  # x + cq - y >= 0
+            if last:
+                # final fused stage: x half * inv_n, y half * inv_n_w.  The
+                # per-lane table differs between halves, so select the
+                # shoup input per half (both operands live at x lanes of
+                # their own half: roll d into the y half first).
+                inlo = jnp.where(is_x, slo, pltpu.roll(dlo, t, 1))
+                inhi = jnp.where(is_x, shi, pltpu.roll(dhi, t, 1))
+                vlo, vhi = _shoup(inlo, inhi, wlo, whi, plo, phi, qlo, qhi)
+                c = 4
+            else:
+                mlo, mhi = _shoup(dlo, dhi, wlo, whi, plo, phi, qlo, qhi)
+                vlo = jnp.where(is_x, slo, pltpu.roll(mlo, t, 1))
+                vhi = jnp.where(is_x, shi, pltpu.roll(mhi, t, 1))
+                c = max(2 * c, 4)
+        # approximate multiply leaves the final stage < 4q; restore the
+        # [0,2q) lazy contract, then canonical if requested.
+        vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
         if out_factor == 1:
             vlo, vhi = _reduce_once64(vlo, vhi, qlo, qhi)
         olo_ref[:] = vlo

@@ -31,6 +31,37 @@ def test_pallas_forward_matches_jnp(log_n):
     assert (got == ref).all()
 
 
+@pytest.mark.parametrize(
+    "q",
+    [
+        1125899906826241,  # 50-bit Solinas 2^50-2^14+1: shift q*qhat, full defer
+        562949953392641,  # 50-bit non-Solinas: generic mul, full defer
+        1152921504606830593,  # 60-bit Solinas: no fwd defer, partial inv defer
+    ],
+)
+@pytest.mark.parametrize("log_n", [6, 9])
+def test_pallas_prime_tiers_roundtrip(q, log_n):
+    """Covers the Solinas/generic multiply paths and the deferred-reduction
+    gating tiers (full / none / partial) against the jnp reference."""
+    n = 1 << log_n
+    pp = PallasNttPlan64(log_n, q)
+    jp = build_plan64(log_n, q)
+    data = to_u64_pair(rng.integers(0, q, (3, n), dtype=np.uint64))
+    got = from_u64_pair(pallas_forward64(pp, data, 1, 2))
+    ref = from_u64_pair(forward64(jp, data))
+    assert (got == ref).all()
+    lazy = from_u64_pair(pallas_forward64(pp, data, 4, 2))
+    assert ((lazy.astype(object) % q) == ref.astype(object)).all()
+    assert (lazy.astype(object) < 4 * q).all()
+    fwd = forward64(jp, data)
+    got_i = from_u64_pair(pallas_inverse64(pp, fwd, 1, 2))
+    ref_i = from_u64_pair(inverse64(jp, fwd))
+    assert (got_i == ref_i).all()
+    lazy_i = from_u64_pair(pallas_inverse64(pp, fwd, 2, 2))
+    assert ((lazy_i.astype(object) % q) == ref_i.astype(object)).all()
+    assert (lazy_i.astype(object) < 2 * q).all()
+
+
 def test_pallas_inverse_and_roundtrip():
     log_n = 8
     n = 1 << log_n
