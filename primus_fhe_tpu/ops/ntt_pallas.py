@@ -525,6 +525,9 @@ def _make_fwd_kernel32(log_n: int, q: int, out_factor: int):
             is_x = (iota & t) == 0
             w = w_ref[s, :][None]
             wp = p_ref[s, :][None]
+            # select formulation: measured faster than computing at x lanes
+            # and rolling outputs into place (the output roll lands on the
+            # critical path after the multiply).
             r_m = pltpu.roll(v, n - t, 1)  # v[p+t]
             r_p = pltpu.roll(v, t, 1)  # v[p-t]
             x = jnp.where(is_x, v, r_p)

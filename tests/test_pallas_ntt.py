@@ -116,3 +116,32 @@ def test_pallas_rotate_matches_jnp():
     for i, d in enumerate([0, 7, 2 * n - 1]):
         expect = np.asarray(_rotate_glwe(v[i], jnp.int32(d), n)) - np.asarray(v[i])
         assert (got_d[i] == expect).all(), d
+
+
+@pytest.mark.parametrize("q", [536813569, 1073692673])  # reference u32 primes
+@pytest.mark.parametrize("log_n", [6, 9])
+def test_pallas32_matches_jnp(q, log_n):
+    from primus_fhe_tpu.ops.ntt_pallas import (
+        PallasNttPlan32,
+        pallas_forward32,
+        pallas_inverse32,
+    )
+    from primus_fhe_tpu.transforms import build_plan32, forward32, inverse32
+
+    n = 1 << log_n
+    pp = PallasNttPlan32(log_n, q)
+    jp = build_plan32(log_n, q)
+    data = np.asarray(rng.integers(0, q, (3, n), dtype=np.uint64), dtype=np.uint32)
+    import jax.numpy as jnp
+
+    data = jnp.asarray(data)
+    got = np.asarray(pallas_forward32(pp, data, 1, 2))
+    ref = np.asarray(forward32(jp, data))
+    assert (got == ref).all()
+    lazy = np.asarray(pallas_forward32(pp, data, 4, 2)).astype(np.int64)
+    assert ((lazy % q) == ref.astype(np.int64)).all()
+    assert (lazy < 4 * q).all()
+    fwd = forward32(jp, data)
+    got_i = np.asarray(pallas_inverse32(pp, fwd, 1, 2))
+    ref_i = np.asarray(inverse32(jp, fwd))
+    assert (got_i == ref_i).all()
