@@ -92,17 +92,17 @@ def blind_rotate(
     def body(acc, x):
         a_i, bsk_i = x
         if use_fused:
-            # fused Pallas front end (rotate-diff + decompose + lift)
-            from ..lattice.tfhe import cmux_delta
+            # fully fused two-kernel step (rotate+decompose+lift+NTT, then
+            # MAC+INTT+CRT+add) — see ops/cmux_fused.py
+            from ..ops.cmux_fused import fused_cmux_step
 
             acc3 = acc.reshape((-1, k1, n))
             d3 = jnp.asarray(a_i, jnp.int32).reshape(-1)
             d3 = jnp.broadcast_to(d3, acc3.shape[:1]) % (2 * n)
-            delta = cmux_delta(conv, basis, acc3, d3, bsk_i).reshape(acc.shape)
-        else:
-            deg = a_i[..., None] if batch else a_i  # broadcast over k+1
-            rotated = _rotate_glwe(acc, deg, n)
-            delta = external_product(conv, basis, rotated - acc, bsk_i)
+            return fused_cmux_step(conv, basis, acc3, d3, bsk_i).reshape(acc.shape), None
+        deg = a_i[..., None] if batch else a_i  # broadcast over k+1
+        rotated = _rotate_glwe(acc, deg, n)
+        delta = external_product(conv, basis, rotated - acc, bsk_i)
         return acc + delta, None
 
     a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)  # (n_lwe, ...)
