@@ -110,12 +110,16 @@ def blind_rotate(
     return acc
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def make_bootstrap_key(key, lwe_secret, glwe_secret, basis, gaussian, conv):
     """BSK_i = GGSW(s_i) under the GLWE secret, stacked ``(n_lwe, ...)``.
 
-    ``lwe_secret``: (n_lwe,) bits as uint32.
+    ``lwe_secret``: (n_lwe,) bits as uint32.  Jitted end-to-end: the
+    n_lwe-fold vmapped GGSW encryption is one compiled program (eager
+    execution dispatches thousands of tiny ops — minutes over a remote
+    TPU link).
     """
-    from ..lattice.tfhe import ggsw_encrypt_torus, ggsw_to_ntt
+    from ..lattice.tfhe import ggsw_encrypt_torus
 
     n_lwe = lwe_secret.shape[0]
     keys = jax.random.split(key, n_lwe)
