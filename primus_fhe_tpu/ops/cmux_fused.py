@@ -35,6 +35,14 @@ from .cmux_pallas import _lift_mod_p, _mul_wide_u32, _mulhi_u32
 _U32 = jnp.uint32
 
 
+def _fit_tile(total: int, tile: int) -> int:
+    """Largest divisor of ``total`` that is <= ``tile`` (host-side)."""
+    tile = max(1, min(tile, total))
+    while total % tile:
+        tile -= 1
+    return tile
+
+
 # ---------------------------------------------------------------------------
 # In-kernel single-prime NTT stage loops (static q, tables sliced per prime)
 # ---------------------------------------------------------------------------
@@ -129,7 +137,7 @@ def _lazy_mul_q(a, b, q: int):
 @functools.partial(
     jax.jit, static_argnames=("basis", "primes", "log_n", "tile")
 )
-def cmux_stage1(acc, degrees, w_all, p_all, basis, primes: tuple, log_n: int, tile: int = 8):
+def cmux_stage1(acc, degrees, w_all, p_all, basis, primes: tuple, log_n: int, tile: int = 64):
     """``(B, k1, n)`` accumulator + ``(B,)`` degrees ->
     ``(kp, B*k1, L, n)`` NTT-domain digit residues of ``acc*X^d - acc``,
     lazy ``[0, 4p)``.
@@ -150,9 +158,7 @@ def cmux_stage1(acc, degrees, w_all, p_all, basis, primes: tuple, log_n: int, ti
     rows = bsz * k1
     acc2 = acc.reshape(rows, n)
     d_rows = jnp.repeat(jnp.asarray(degrees, jnp.int32), k1).reshape(rows, 1)
-    tile = min(tile, rows)
-    if rows % tile != 0:
-        tile = k1
+    tile = _fit_tile(rows, tile)
     grid = (rows // tile,)
 
     def kernel(d_ref, v_ref, w_ref, p_ref, out_ref):
@@ -218,7 +224,7 @@ def cmux_stage1(acc, degrees, w_all, p_all, basis, primes: tuple, log_n: int, ti
     static_argnames=("primes", "log_n", "level", "crt", "tile_b"),
 )
 def cmux_stage2(f, key_ntt, acc, iw_all, ip_all, primes: tuple, log_n: int,
-                level: int, crt: tuple, tile_b: int = 4):
+                level: int, crt: tuple, tile_b: int = 32):
     """``f (kp, B*k1, L, n)`` digits x ``key (kp, k1, L, k1, n)`` ->
     new accumulator ``(B, k1, n)`` (torus u32).
 
@@ -230,9 +236,7 @@ def cmux_stage2(f, key_ntt, acc, iw_all, ip_all, primes: tuple, log_n: int,
     kp = len(primes)
     bsz, k1, nn = acc.shape
     assert nn == n
-    tile_b = min(tile_b, bsz)
-    if bsz % tile_b != 0:
-        tile_b = 1
+    tile_b = _fit_tile(bsz, tile_b)
     grid = (bsz // tile_b,)
     rows = tile_b * k1
     f4 = f.reshape(kp, bsz, k1, level, n)
@@ -354,7 +358,7 @@ def _fused_tables(conv):
     return got
 
 
-def fused_cmux_step(conv, basis, acc, degrees, key_ntt, tile1: int = 8, tile2: int = 4):
+def fused_cmux_step(conv, basis, acc, degrees, key_ntt, tile1: int = 64, tile2: int = 32):
     """One blind-rotation step: returns ``acc + (acc*X^d - acc) ⊡ key``.
 
     ``acc``: ``(B, k1, n)`` torus u32; ``degrees``: ``(B,)`` int32 mod 2N;
@@ -363,6 +367,14 @@ def fused_cmux_step(conv, basis, acc, degrees, key_ntt, tile1: int = 8, tile2: i
     w_all, p_all, iw_all, ip_all, crt = _fused_tables(conv)
     primes = tuple(conv.primes)
     log_n = conv.log_n
+    # VMEM guard: keep the big per-tile buffers (stage-1 digit output,
+    # stage-2 digit input) under ~4 MB each; _fit_tile then snaps to a
+    # divisor of the row/batch count.
+    kp = len(primes)
+    level = basis.decompose_length
+    n = 1 << log_n
+    tile1 = min(tile1, max(1, (4 << 20) // (kp * level * n * 4)))
+    tile2 = min(tile2, max(1, (4 << 20) // (kp * acc.shape[1] * level * n * 4)))
     f = cmux_stage1(acc, degrees, w_all, p_all, basis, primes, log_n, tile1)
     return cmux_stage2(
         f, key_ntt, acc, iw_all, ip_all, primes, log_n,
