@@ -97,6 +97,27 @@ class PallasNttPlan64:
         self.inv_w = to_u64_pair(inv_w)
         self.inv_p = to_u64_pair(inv_p)
 
+        # Pre-split 16-bit limb tables (the kernel's Shoup multiply consumes
+        # w and precon as 16-bit limbs; extracting them host-side once saves
+        # six vector ops per element per stage — the Pallas analogue of the
+        # reference's pre-expanded AVX tables, table.rs:91-103).
+        def split_tabs(w, p):
+            wpair = to_u64_pair(w)
+            ppair = to_u64_pair(p)
+            return (
+                wpair.lo,
+                wpair.hi,
+                wpair.lo & 0xFFFF,
+                wpair.lo >> 16,
+                ppair.lo & 0xFFFF,
+                ppair.lo >> 16,
+                ppair.hi & 0xFFFF,
+                ppair.hi >> 16,
+            )
+
+        self.fwd_tabs = split_tabs(fwd_w, fwd_p)
+        self.inv_tabs = split_tabs(inv_w, inv_p)
+
 
 # ---------------------------------------------------------------------------
 # In-kernel u64 helpers (lo/hi uint32 pairs as separate arrays)
@@ -200,14 +221,23 @@ def _shl64(xlo, xhi, k: int):
     return jnp.zeros_like(xlo), xlo << (k - 32)
 
 
+def _hi_limbs(a, a0, a1, b0, b1):
+    """hi32 of ``a (u32) * b (u32)`` from pre-split 16-bit limbs; the full
+    ``b`` word is never needed (only its limbs)."""
+    m1 = a1 * b0 + ((a0 * b0) >> 16)
+    m2 = a0 * b1 + (m1 & 0xFFFF)
+    return a1 * b1 + (m1 >> 16) + (m2 >> 16)
+
+
 def _make_shoup_lazy64(q: int, exact: bool = True):
     """Builds the lazy Shoup multiply ``w*y - q*hi(precon*y)``.
 
     The 16-bit limbs of ``y`` are extracted once and shared between the
-    ``precon*y`` hi-product and the ``w*y`` lo-product.  When q is a
-    Solinas prime ``2^a - 2^b + 1`` (both reference bench primes are),
-    ``q * q_hat mod 2^64`` becomes shifts+adds — the integer analogue of
-    HEXL's special-prime path.
+    ``precon*y`` hi-product and the ``w*y`` lo-product; the w/precon limbs
+    arrive pre-split from the plan tables.  When q is a Solinas prime
+    ``2^a - 2^b + 1`` (both reference bench primes are), ``q * q_hat mod
+    2^64`` becomes shifts+adds — the integer analogue of HEXL's
+    special-prime path.
 
     ``exact=False`` drops the low cross-product and its carry chain from
     the quotient (q_hat may be under by <= 2, so the result lands in
@@ -216,26 +246,25 @@ def _make_shoup_lazy64(q: int, exact: bool = True):
     kernels do)."""
     sol = _solinas_form(q)
 
-    def shoup(ylo, yhi, wlo, whi, plo, phi, qlo, qhi):
+    def shoup(ylo, yhi, wlo, whi, w0, w1, p0, p1, p2, p3, qlo, qhi):
         y0 = ylo & 0xFFFF
         y1 = ylo >> 16
         y2 = yhi & 0xFFFF
         y3 = yhi >> 16
-        p0 = plo & 0xFFFF
-        p1 = plo >> 16
-        p2 = phi & 0xFFFF
-        p3 = phi >> 16
         # hi64(y * precon): exact keeps the [2^32] column carry; approx
         # drops product 00 and the column-32 carries entirely.
-        l01, h01 = _mul_wide_limbs(ylo, y0, y1, phi, p2, p3)
-        l10, h10 = _mul_wide_limbs(yhi, y2, y3, plo, p0, p1)
-        l11, h11 = _mul_wide_limbs(yhi, y2, y3, phi, p2, p3)
+        h01 = _hi_limbs(ylo, y0, y1, p2, p3)
+        h10 = _hi_limbs(yhi, y2, y3, p0, p1)
+        l11 = yhi * (p2 | (p3 << 16))
+        h11 = _hi_limbs(yhi, y2, y3, p2, p3)
         s2 = h01 + h10
         c2 = (s2 < h01).astype(_U32)
         s2b = s2 + l11
         c2 = c2 + (s2b < s2).astype(_U32)
         if exact:
-            _, h00 = _mul_wide_limbs(ylo, y0, y1, plo, p0, p1)
+            h00 = _hi_limbs(ylo, y0, y1, p0, p1)
+            l01 = ylo * (p2 | (p3 << 16))
+            l10 = yhi * (p0 | (p1 << 16))
             s1 = h00 + l01
             c1 = (s1 < h00).astype(_U32)
             r1 = s1 + l10
@@ -246,9 +275,8 @@ def _make_shoup_lazy64(q: int, exact: bool = True):
             hlo = s2b
         hhi = h11 + c2
         # lo64(w * y), reusing y limbs
-        w0 = wlo & 0xFFFF
-        w1 = wlo >> 16
-        wy_lo, wy_hi0 = _mul_wide_limbs(wlo, w0, w1, ylo, y0, y1)
+        wy_lo = wlo * ylo
+        wy_hi0 = _hi_limbs(wlo, w0, w1, y0, y1)
         wy_hi = wy_hi0 + wlo * yhi + whi * ylo
         if sol is None:
             qq_lo, qq_hi = _mul_lo64(qlo, qhi, hlo, hhi)
@@ -301,7 +329,10 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
     defer = (4 + 4 * log_n) * q < (1 << 64)
     _shoup = _make_shoup_lazy64(q, exact=not defer)
 
-    def kernel(wlo_ref, whi_ref, plo_ref, phi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
+    def kernel(
+        wlo_ref, whi_ref, w0_ref, w1_ref, p0_ref, p1_ref, p2_ref, p3_ref,
+        vlo_ref, vhi_ref, olo_ref, ohi_ref,
+    ):
         vlo = vlo_ref[:]
         vhi = vhi_ref[:]
         iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
@@ -312,10 +343,12 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
         for s in range(log_n):
             t = n >> (s + 1)
             is_x = (iota & t) == 0
+            tabs = tuple(
+                r[s, :][None]
+                for r in (w0_ref, w1_ref, p0_ref, p1_ref, p2_ref, p3_ref)
+            )
             wlo = wlo_ref[s, :][None]
             whi = whi_ref[s, :][None]
-            plo = plo_ref[s, :][None]
-            phi = phi_ref[s, :][None]
             # Compute the whole butterfly at the x lanes (the per-lane root
             # table repeats the pair's root at both lanes), then roll the
             # y' outputs into place — halves the selects per stage.
@@ -325,7 +358,7 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
                 txlo, txhi = vlo, vhi
             else:
                 txlo, txhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
-            mlo, mhi = _shoup(ylo, yhi, wlo, whi, plo, phi, qlo, qhi)
+            mlo, mhi = _shoup(ylo, yhi, wlo, whi, *tabs, qlo, qhi)
             alo, ahi = _add64(txlo, txhi, mlo, mhi)  # x' = tx + m
             s1lo, s1hi = _sub64(mqlo, mqhi, mlo, mhi)  # (2q|4q) - m > 0
             blo, bhi = _add64(txlo, txhi, s1lo, s1hi)  # y' = tx + kq - m
@@ -351,7 +384,10 @@ def _make_inv_kernel(log_n: int, q: int, out_factor: int):
     _shoup = _make_shoup_lazy64(q, exact=False)
     limit = 1 << 64
 
-    def kernel(wlo_ref, whi_ref, plo_ref, phi_ref, vlo_ref, vhi_ref, olo_ref, ohi_ref):
+    def kernel(
+        wlo_ref, whi_ref, w0_ref, w1_ref, p0_ref, p1_ref, p2_ref, p3_ref,
+        vlo_ref, vhi_ref, olo_ref, ohi_ref,
+    ):
         vlo = vlo_ref[:]
         vhi = vhi_ref[:]
         iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
@@ -362,10 +398,12 @@ def _make_inv_kernel(log_n: int, q: int, out_factor: int):
             last = s == log_n - 1
             t = (1 << s) if not last else (n >> 1)
             is_x = (iota & t) == 0
+            tabs = tuple(
+                r[s, :][None]
+                for r in (w0_ref, w1_ref, p0_ref, p1_ref, p2_ref, p3_ref)
+            )
             wlo = wlo_ref[s, :][None]
             whi = whi_ref[s, :][None]
-            plo = plo_ref[s, :][None]
-            phi = phi_ref[s, :][None]
             if 2 * c * q >= limit:
                 vlo, vhi = _reduce_chain64(vlo, vhi, q, c, 2)
                 c = 2
@@ -383,10 +421,10 @@ def _make_inv_kernel(log_n: int, q: int, out_factor: int):
                 # their own half: roll d into the y half first).
                 inlo = jnp.where(is_x, slo, pltpu.roll(dlo, t, 1))
                 inhi = jnp.where(is_x, shi, pltpu.roll(dhi, t, 1))
-                vlo, vhi = _shoup(inlo, inhi, wlo, whi, plo, phi, qlo, qhi)
+                vlo, vhi = _shoup(inlo, inhi, wlo, whi, *tabs, qlo, qhi)
                 c = 4
             else:
-                mlo, mhi = _shoup(dlo, dhi, wlo, whi, plo, phi, qlo, qhi)
+                mlo, mhi = _shoup(dlo, dhi, wlo, whi, *tabs, qlo, qhi)
                 vlo = jnp.where(is_x, slo, pltpu.roll(mlo, t, 1))
                 vhi = jnp.where(is_x, shi, pltpu.roll(mhi, t, 1))
                 c = max(2 * c, 4)
@@ -421,20 +459,19 @@ def _call(plan: PallasNttPlan64, values: U64, kernel, tables, tile: int):
         vlo2 = jnp.concatenate([vlo2, jnp.zeros((pad, n), jnp.uint32)])
         vhi2 = jnp.concatenate([vhi2, jnp.zeros((pad, n), jnp.uint32)])
     grid = ((b + pad) // tile,)
-    w, p = tables
     table_spec = pl.BlockSpec((plan.log_n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
     val_spec = pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[table_spec] * 4 + [val_spec] * 2,
+        in_specs=[table_spec] * len(tables) + [val_spec] * 2,
         out_specs=[val_spec] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((b + pad, n), jnp.uint32),
             jax.ShapeDtypeStruct((b + pad, n), jnp.uint32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(w.lo, w.hi, p.lo, p.hi, vlo2, vhi2)
+    )(*tables, vlo2, vhi2)
     return U64(
         out[0][:b].reshape(*batch_shape, n), out[1][:b].reshape(*batch_shape, n)
     )
@@ -444,14 +481,14 @@ def _call(plan: PallasNttPlan64, values: U64, kernel, tables, tile: int):
 def pallas_forward64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, tile: int = 8) -> U64:
     """Fused forward NTT; same contract as :func:`transforms.ntt.forward64`."""
     kernel = _make_fwd_kernel(plan.log_n, plan.q, out_factor)
-    return _call(plan, values, kernel, (plan.fwd_w, plan.fwd_p), tile)
+    return _call(plan, values, kernel, plan.fwd_tabs, tile)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def pallas_inverse64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, tile: int = 8) -> U64:
     """Fused inverse NTT; same contract as :func:`transforms.ntt.inverse64`."""
     kernel = _make_inv_kernel(plan.log_n, plan.q, out_factor)
-    return _call(plan, values, kernel, (plan.inv_w, plan.inv_p), tile)
+    return _call(plan, values, kernel, plan.inv_tabs, tile)
 
 
 # ===========================================================================
