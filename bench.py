@@ -34,11 +34,22 @@ def main():
     rng = np.random.default_rng(7)
     data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 
-    # Preferred path: the fused Pallas kernel (VMEM-resident stages).
-    # Falls back to the jnp/XLA reference path off-TPU or if the kernel
-    # fails to compile/run in this environment.
+    # Preferred paths, fastest first: the fused MXU four-step kernel (int8
+    # systolic-array matmuls; ops/ntt_mxu.py), then the fused VPU butterfly
+    # kernel (ops/ntt_pallas.py).  Falls back to the jnp/XLA reference path
+    # off-TPU or if neither kernel compiles in this environment.
     fwd_step = None
     if jax.default_backend() == "tpu":
+        candidates = []
+        try:
+            from primus_fhe_tpu.ops.ntt_mxu import MxuNttPlan64, mxu_fused_forward64
+
+            mplan = MxuNttPlan64(log_n, q)
+            candidates.append(
+                ("mxu", lambda _, v: mxu_fused_forward64(mplan, v, 4, 4))
+            )
+        except Exception as e:  # pragma: no cover - environment dependent
+            print(f"[bench] mxu plan unavailable ({e!r})", file=sys.stderr)
         try:
             from primus_fhe_tpu.ops.ntt_pallas import (
                 PallasNttPlan64,
@@ -46,16 +57,20 @@ def main():
             )
 
             pplan = PallasNttPlan64(log_n, q)
-
-            def _pallas_step(_, v):
-                return pallas_forward64(pplan, v, 4, 16)
-
-            probe = jax.jit(lambda v: _pallas_step(None, v))(data)
-            jax.block_until_ready(probe)
-            fwd_step = _pallas_step
-            print("[bench] path=pallas", file=sys.stderr)
+            candidates.append(
+                ("pallas", lambda _, v: pallas_forward64(pplan, v, 4, 16))
+            )
         except Exception as e:  # pragma: no cover - environment dependent
-            print(f"[bench] pallas path unavailable ({e!r}); XLA fallback", file=sys.stderr)
+            print(f"[bench] pallas plan unavailable ({e!r})", file=sys.stderr)
+        for name, step in candidates:
+            try:
+                probe = jax.jit(lambda v, step=step: step(None, v))(data)
+                jax.block_until_ready(probe)
+                fwd_step = step
+                print(f"[bench] path={name}", file=sys.stderr)
+                break
+            except Exception as e:  # pragma: no cover - environment dependent
+                print(f"[bench] {name} path unavailable ({e!r})", file=sys.stderr)
     if fwd_step is None:
         jplan = build_plan64(log_n, q)
 

@@ -151,6 +151,21 @@ class MxuNttPlan64:
         # pre-transposed so the in-kernel product is (r0, (l,k0)) @ W2.
         self.w1f = jnp.asarray(_limb_matrix(m1, q, block=True))
         self.w2f = jnp.asarray(_limb_matrix(m2, q, block=True).T)
+        self._tiled: dict = {}
+
+    def tiled_tabs(self, tile: int):
+        """Twiddle tables pre-tiled to ``(A, tile*B)`` (cached per tile), so
+        the fused kernel reads them directly instead of broadcasting."""
+        got = self._tiled.get(tile)
+        if got is None:
+            # host numpy only: anything jnp-created while a jit trace is
+            # active would be a tracer and leak into later traces.
+            got = tuple(
+                np.tile(np.asarray(t), (1, tile))
+                for t in self.t_tabs + self.t28_tabs
+            )
+            self._tiled[tile] = got
+        return got
 
 
 def _split7_list(lo, hi):
@@ -285,9 +300,10 @@ def _make_fused_kernel(plan: "MxuNttPlan64", out_factor: int, tile: int):
         v_lo = _recombine_half(digs[:4])
         v_hi = _recombine_half(digs[4:])
 
-        # twiddle (broadcast the (A, B) tables across the tile's lanes)
-        t_t = [jnp.concatenate([r[:]] * tile, axis=1) for r in t_refs]
-        t28_t = [jnp.concatenate([r[:]] * tile, axis=1) for r in t28_refs]
+        # twiddle (tables arrive pre-tiled to (A, tile*B); no in-kernel
+        # broadcast relayouts)
+        t_t = [r[:] for r in t_refs]
+        t28_t = [r[:] for r in t28_refs]
         m1 = shoup(*v_lo, *t_t, *qc)
         m2 = shoup(*v_hi, *t28_t, *qc)
         s2lo, s2hi = _add64(*m1, *m2)  # < 8q < 2^56
@@ -309,7 +325,9 @@ def _make_fused_kernel(plan: "MxuNttPlan64", out_factor: int, tile: int):
         k28_tabs = sconst((1 << 28) % q)
         one_tabs = sconst(1)
 
-        # pass 2: per-poly dot (r0 rows x (l, k0) lanes) @ W2
+        # pass 2: per-poly dot (r0 rows x (l, k0) lanes) @ W2.  (A restack
+        # into one (tile*A, 8B) dot crashes the Mosaic compiler on the
+        # lane-slice + sublane-concat relayout; the per-poly form lowers.)
         for p in range(tile):
             sl = s2lo[:, p * B : (p + 1) * B]
             sh = s2hi[:, p * B : (p + 1) * B]
@@ -376,7 +394,7 @@ def mxu_fused_forward64(
         kernel,
         grid=grid,
         in_specs=[w_spec((A * _LIMBS, A * _LIMBS)), w_spec((B * _LIMBS, B * _LIMBS))]
-        + [w_spec((A, B))] * 16
+        + [w_spec((A, tile * B))] * 16
         + [val_spec] * 2,
         out_specs=[out_spec] * 2,
         out_shape=[
@@ -384,7 +402,7 @@ def mxu_fused_forward64(
             jax.ShapeDtypeStruct((bp * A, B), jnp.uint32),
         ],
         interpret=jax.default_backend() != "tpu",
-    )(plan.w1f, plan.w2f, *plan.t_tabs, *plan.t28_tabs, vlo_t, vhi_t)
+    )(plan.w1f, plan.w2f, *plan.tiled_tabs(tile), vlo_t, vhi_t)
     olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
     ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
     return U64(olo, ohi)
