@@ -104,13 +104,14 @@ def _shoup_tabs(m, q: int):
 class MxuNttPlan64:
     """Constant matrices for the MXU four-step forward NTT."""
 
-    def __init__(self, log_n: int, q: int):
+    def __init__(self, log_n: int, q: int, h1: int | None = None):
         if q >= 1 << 53:
             raise ValueError("MxuNttPlan64 requires q < 2^53 (8-limb bound)")
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.q = q
-        h1 = (log_n + 1) // 2
+        if h1 is None:
+            h1 = (log_n + 1) // 2
         h2 = log_n - h1
         self.A = A = 1 << h1
         self.B = B = 1 << h2
