@@ -101,8 +101,34 @@ def _shoup_tabs(m, q: int):
     )
 
 
+def _pow_table(base: int, q: int, count: int) -> list[int]:
+    """``[base^0, base^1, ..., base^(count-1)] mod q`` (host-side)."""
+    out = [1] * count
+    for i in range(1, count):
+        out[i] = out[i - 1] * base % q
+    return out
+
+
 class MxuNttPlan64:
-    """Constant matrices for the MXU four-step forward NTT."""
+    """Constant matrices for the MXU four-step forward *and* inverse NTT.
+
+    Forward factorization (module docstring); inverse mirrors it with the
+    roles of the two factors swapped — for bit-reversed input ``v`` at
+    ``j = B*r0 + r1`` and normal-order output ``a`` at ``k = B*k1 + k0``
+    (reference semantics: ``crates/primus_ntt/src/ntt/prime64/scalar/
+    transform.rs`` inverse path + fused ``inv_n`` stage ``table.rs:54-58``):
+
+      a[B k1 + k0] = sum_{r0} M1i[k1,r0] Tinv[r0,k0]
+                         sum_{r1} v[r0,r1] M2i[k0,r1]
+
+      M2i[k0,r1] = om_B^{-rev2[r1] k0}
+      Tinv[r0,k0] = psi^{-k0} omega^{-rev1[r0] k0}
+      M1i[k1,r0] = inv_n * psi^{-B k1} om_A^{-rev1[r0] k1}
+
+    with ``inv_n`` folded into the pass-2 matrix (no separate scaling
+    stage).  Both directions run the identical fused kernel with the roles
+    of the (A, B) axes swapped.
+    """
 
     def __init__(self, log_n: int, q: int, h1: int | None = None):
         if q >= 1 << 53:
@@ -112,6 +138,8 @@ class MxuNttPlan64:
         self.q = q
         if h1 is None:
             h1 = (log_n + 1) // 2
+        if not 0 <= h1 <= log_n:
+            raise ValueError(f"h1 must be in [0, {log_n}], got {h1}")
         h2 = log_n - h1
         self.A = A = 1 << h1
         self.B = B = 1 << h2
@@ -123,21 +151,34 @@ class MxuNttPlan64:
         rev1 = [reverse_lsbs(i, h1) for i in range(A)]
         rev2 = [reverse_lsbs(i, h2) for i in range(B)]
 
-        m1 = np.empty((A, A), dtype=object)
-        for r0 in range(A):
-            e = rev1[r0]
-            for k1 in range(A):
-                m1[r0, k1] = pow(psi, B * k1, q) * pow(om_a, e * k1, q) % q
-        m2 = np.empty((B, B), dtype=object)
-        for r1 in range(B):
-            e = rev2[r1]
-            for k0 in range(B):
-                m2[r1, k0] = pow(om_b, e * k0, q)
-        tw = np.empty((A, B), dtype=object)
-        for r0 in range(A):
-            e = rev1[r0]
-            for k0 in range(B):
-                tw[r0, k0] = pow(psi, k0, q) * pow(omega, e * k0, q) % q
+        def vandermonde(col_pows, row_pows):
+            """``M[r, c] = col_pows[c] * row_pows[r]^c`` — built per row from
+            running products (avoids A*B modular exponentiations)."""
+            R, C = len(row_pows), len(col_pows)
+            m = np.empty((R, C), dtype=object)
+            for r in range(R):
+                base = row_pows[r]
+                acc = 1
+                for c in range(C):
+                    m[r, c] = acc * col_pows[c] % q
+                    acc = acc * base % q
+            return m
+
+        ones_a = [1] * A
+        ones_b = [1] * B
+        psi_b = _pow_table(pow(psi, B, q), q, A)  # psi^{B k1}
+        om_a_rev = [pow(om_a, e, q) for e in rev1]
+        om_b_rev = [pow(om_b, e, q) for e in rev2]
+        psi_pows = _pow_table(psi, q, B)  # psi^{k0}
+        om_rev = [pow(omega, e, q) for e in rev1]
+
+        # --- forward matrices -------------------------------------------
+        # m1[r0, k1] = psi^{B k1} om_A^{rev1[r0] k1}
+        m1 = vandermonde(psi_b, om_a_rev)
+        # m2[r1, k0] = om_B^{rev2[r1] k0}
+        m2 = vandermonde(ones_b, om_b_rev)
+        # tw[r0, k0] = psi^{k0} omega^{rev1[r0] k0}
+        tw = vandermonde(psi_pows, om_rev)
         tw28 = (tw * ((1 << 28) % q)) % q
 
         self.w1 = jnp.asarray(_limb_matrix(m1, q))
@@ -154,19 +195,55 @@ class MxuNttPlan64:
         self.w2f = jnp.asarray(_limb_matrix(m2, q, block=True).T)
         self._tiled: dict = {}
 
-    def tiled_tabs(self, tile: int):
-        """Twiddle tables pre-tiled to ``(A, tile*B)`` (cached per tile), so
-        the fused kernel reads them directly instead of broadcasting."""
-        got = self._tiled.get(tile)
+        # --- inverse matrices (see class docstring) ----------------------
+        ipsi = pow(psi, 2 * n - 1, q)
+        iom = ipsi * ipsi % q
+        iom_a = pow(iom, B, q)
+        iom_b = pow(iom, A, q)
+        inv_n = g.inv_n
+        iom_a_rev = [pow(iom_a, e, q) for e in rev1]
+        iom_b_rev = [pow(iom_b, e, q) for e in rev2]
+        ipsi_pows = _pow_table(ipsi, q, B)
+        iom_rev = [pow(iom, e, q) for e in rev1]
+        # m2i[k0, r1] = iom_B^{rev2[r1] k0}: rows k0, so transpose the
+        # vandermonde built over rows rev2.
+        m2i = vandermonde(ones_b, iom_b_rev).T.copy()
+        # twi_t[k0, r0] = ipsi^{k0} iom^{rev1[r0] k0} (transposed layout:
+        # the inverse kernel's value grid is (k0, poly*r0)).
+        twi_t = vandermonde(ipsi_pows, iom_rev).T.copy()
+        twi28_t = (twi_t * ((1 << 28) % q)) % q
+        # m1i[k1, r0] = inv_n ipsi^{B k1} iom_A^{rev1[r0] k1}: rows k1.
+        ipsi_b = _pow_table(pow(ipsi, B, q), q, A)
+        m1i = vandermonde([p * inv_n % q for p in ipsi_b], iom_a_rev).T.copy()
+
+        self.w2i = jnp.asarray(_limb_matrix(m2i, q))
+        self.w1i = jnp.asarray(_limb_matrix(m1i, q))
+        self.ti_tabs = _shoup_tabs(twi_t, q)
+        self.ti28_tabs = _shoup_tabs(twi28_t, q)
+        self.w2if = jnp.asarray(_limb_matrix(m2i, q, block=True))
+        self.w1if = jnp.asarray(_limb_matrix(m1i, q, block=True).T)
+        self._tiled_inv: dict = {}
+
+    def _tile_cache(self, cache, tabs, tile):
+        got = cache.get(tile)
         if got is None:
             # host numpy only: anything jnp-created while a jit trace is
             # active would be a tracer and leak into later traces.
-            got = tuple(
-                np.tile(np.asarray(t), (1, tile))
-                for t in self.t_tabs + self.t28_tabs
-            )
-            self._tiled[tile] = got
+            got = tuple(np.tile(np.asarray(t), (1, tile)) for t in tabs)
+            cache[tile] = got
         return got
+
+    def tiled_tabs(self, tile: int):
+        """Forward twiddle tables pre-tiled to ``(A, tile*B)`` (cached per
+        tile), so the fused kernel reads them directly instead of
+        broadcasting."""
+        return self._tile_cache(self._tiled, self.t_tabs + self.t28_tabs, tile)
+
+    def tiled_tabs_inv(self, tile: int):
+        """Inverse twiddle tables pre-tiled to ``(B, tile*A)``."""
+        return self._tile_cache(
+            self._tiled_inv, self.ti_tabs + self.ti28_tabs, tile
+        )
 
 
 def _split7_list(lo, hi):
@@ -259,6 +336,56 @@ def mxu_forward64(plan: MxuNttPlan64, values: U64, out_factor: int = 1) -> U64:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def mxu_inverse64(plan: MxuNttPlan64, values: U64, out_factor: int = 1) -> U64:
+    """Inverse negacyclic NTT on the MXU; contract of
+    :func:`transforms.ntt.inverse64` (bit-reversed input, any u64 < 2^56;
+    normal-order output in ``[0, out_factor*q)``), ``inv_n`` folded into
+    the pass-2 matrix."""
+    q = plan.q
+    n, A, B = plan.n, plan.A, plan.B
+    shoup = _make_shoup_lazy64(q, exact=False)
+    qc = _const64(q)
+
+    vlo, vhi = values.lo, values.hi
+    batch_shape = vlo.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    vlo = vlo.reshape(b, A, B)
+    vhi = vhi.reshape(b, A, B)
+
+    # pass 1: contraction over (r1, l) -> digit rows (k0, c), lanes r0
+    a8 = jnp.transpose(_split7(vlo, vhi), (0, 3, 2, 1)).reshape(b, B * _LIMBS, A)
+    o1 = jnp.einsum(
+        "rk,bkc->brc", plan.w2i, a8, preferred_element_type=jnp.int32
+    ).reshape(b, B, _LIMBS, A)
+    (l_lo, l_hi), (h_lo, h_hi) = _recombine(o1)
+
+    # twiddle with Tinv^T[k0, r0]
+    m1 = shoup(l_lo, l_hi, *plan.ti_tabs, *qc)
+    m2 = shoup(h_lo, h_hi, *plan.ti28_tabs, *qc)
+    s2lo, s2hi = _add64(*m1, *m2)  # < 8q < 2^56
+
+    # pass 2: contraction over (r0, l) -> output rows k0, cols (k1, c)
+    limbs2 = _split7(s2lo, s2hi)  # (b, B, 8, A)
+    a2 = jnp.transpose(limbs2, (0, 3, 2, 1)).reshape(b, A * _LIMBS, B)
+    o2 = jnp.einsum(
+        "rk,bkc->bcr", plan.w1i, a2, preferred_element_type=jnp.int32
+    ).reshape(b, B, A, _LIMBS)
+    (l2_lo, l2_hi), (h2_lo, h2_hi) = _recombine(jnp.moveaxis(o2, -1, -2))
+
+    mh = shoup(h2_lo, h2_hi, *plan.k28_tabs, *qc)
+    t_lo, t_hi = _add64(l2_lo, l2_hi, *mh)  # < 2^46 + 4q < 2^56
+    olo, ohi = shoup(t_lo, t_hi, *plan.one_tabs, *qc)
+    if out_factor <= 2:
+        olo, ohi = _reduce_once64(olo, ohi, *_const64(2 * q))
+    if out_factor == 1:
+        olo, ohi = _reduce_once64(olo, ohi, *qc)
+    # (b, k0, k1) -> natural (b, k1, k0) order
+    olo = jnp.transpose(olo, (0, 2, 1)).reshape(*batch_shape, n)
+    ohi = jnp.transpose(ohi, (0, 2, 1)).reshape(*batch_shape, n)
+    return U64(olo, ohi)
+
+
 # ---------------------------------------------------------------------------
 # Fused Pallas kernel: both matmuls + twiddle + reduction VMEM-resident
 # ---------------------------------------------------------------------------
@@ -274,11 +401,17 @@ def _recombine_half(d):
     return lo, hi
 
 
-def _make_fused_kernel(plan: "MxuNttPlan64", out_factor: int, tile: int):
+def _make_fused_kernel(q: int, A: int, B: int, out_factor: int, tile: int):
+    """Direction-generic fused four-step kernel body.
+
+    The value grid is ``(A, tile*B)``: pass 1 contracts the sublane axis
+    against ``w1_ref`` (8A, 8A), the twiddle applies per-lane Shoup tables
+    (A, tile*B), pass 2 contracts each poly's lane block against ``w2_ref``
+    (8B, 8B), output blocks are ``(tile*A, B)``.  Forward passes (A, B) =
+    (plan.A, plan.B) with the forward matrices; inverse swaps the axes —
+    (plan.B, plan.A) — with the inverse matrices (see MxuNttPlan64)."""
     import jax.lax as lax
 
-    q = plan.q
-    A, B = plan.A, plan.B
     shoup = _make_shoup_lazy64(q, exact=False)
     dot = functools.partial(
         lax.dot_general,
@@ -350,21 +483,35 @@ def _make_fused_kernel(plan: "MxuNttPlan64", out_factor: int, tile: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def mxu_fused_forward64(
-    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 8
-) -> U64:
-    """Fused-Pallas MXU forward NTT; contract of :func:`mxu_forward64`.
+def _fused_call(q, S, L, w1f, w2f, tabs, vlo_t, vhi_t, bp, tile, out_factor):
+    """Shared pallas_call scaffolding for the fused four-step kernels.
 
-    Layout: the caller transposes each polynomial's (k1, k0) matrix so k1
-    rides the sublanes and the poly batch rides the lanes; both int8
-    matmuls, the digit recombination, the Shoup twiddle and the final
-    Barrett reduction stay VMEM-resident."""
+    ``vlo_t/vhi_t`` arrive in the (S, bp*L) kernel layout; returns the two
+    (bp*S, L) output planes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    q = plan.q
-    n, A, B = plan.n, plan.A, plan.B
+    kernel = _make_fused_kernel(q, S, L, out_factor, tile)
+    grid = (bp // tile,)
+    w_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec((S, tile * L), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile * S, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[w_spec((S * _LIMBS, S * _LIMBS)), w_spec((L * _LIMBS, L * _LIMBS))]
+        + [w_spec((S, tile * L))] * 16
+        + [val_spec] * 2,
+        out_specs=[out_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp * S, L), jnp.uint32),
+            jax.ShapeDtypeStruct((bp * S, L), jnp.uint32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(w1f, w2f, *tabs, vlo_t, vhi_t)
+
+
+def _pad_batch(values: U64, n: int, tile: int):
     vlo, vhi = values.lo, values.hi
     batch_shape = vlo.shape[:-1]
     b = int(np.prod(batch_shape)) if batch_shape else 1
@@ -375,35 +522,64 @@ def mxu_fused_forward64(
     if pad:
         vlo = jnp.concatenate([vlo, jnp.zeros((pad, n), jnp.uint32)])
         vhi = jnp.concatenate([vhi, jnp.zeros((pad, n), jnp.uint32)])
-    bp = b + pad
+    return vlo, vhi, batch_shape, b, b + pad, tile
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def mxu_fused_forward64(
+    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 8
+) -> U64:
+    """Fused-Pallas MXU forward NTT; contract of :func:`mxu_forward64`.
+
+    Layout: the caller transposes each polynomial's (k1, k0) matrix so k1
+    rides the sublanes and the poly batch rides the lanes; both int8
+    matmuls, the digit recombination, the Shoup twiddle and the final
+    Barrett reduction stay VMEM-resident."""
+    q = plan.q
+    n, A, B = plan.n, plan.A, plan.B
+    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
 
     def to_kernel_layout(x):
         # (b, n) -> (A, b*B): rows k1, cols (poly, k0)
-        return (
-            x.reshape(bp, A, B).transpose(1, 0, 2).reshape(A, bp * B)
-        )
+        return x.reshape(bp, A, B).transpose(1, 0, 2).reshape(A, bp * B)
 
-    vlo_t = to_kernel_layout(vlo)
-    vhi_t = to_kernel_layout(vhi)
-
-    kernel = _make_fused_kernel(plan, out_factor, tile)
-    grid = (bp // tile,)
-    w_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    val_spec = pl.BlockSpec((A, tile * B), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile * A, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    olo, ohi = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[w_spec((A * _LIMBS, A * _LIMBS)), w_spec((B * _LIMBS, B * _LIMBS))]
-        + [w_spec((A, tile * B))] * 16
-        + [val_spec] * 2,
-        out_specs=[out_spec] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((bp * A, B), jnp.uint32),
-            jax.ShapeDtypeStruct((bp * A, B), jnp.uint32),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(plan.w1f, plan.w2f, *plan.tiled_tabs(tile), vlo_t, vhi_t)
+    olo, ohi = _fused_call(
+        q, A, B, plan.w1f, plan.w2f, plan.tiled_tabs(tile),
+        to_kernel_layout(vlo), to_kernel_layout(vhi), bp, tile, out_factor,
+    )
+    # output blocks are (poly, r0) rows x r1 cols = natural (b, n) order
     olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
     ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
     return U64(olo, ohi)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def mxu_fused_inverse64(
+    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 8
+) -> U64:
+    """Fused-Pallas MXU inverse NTT; contract of :func:`mxu_inverse64`.
+
+    Runs the same kernel as the forward with the (A, B) axes swapped: the
+    value grid is (B, poly*A) — rows r1, then k0 — and the ``inv_n``
+    scaling rides the pass-2 matrix."""
+    q = plan.q
+    n, A, B = plan.n, plan.A, plan.B
+    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
+
+    def to_kernel_layout(x):
+        # (b, n) -> (B, b*A): rows r1, cols (poly, r0)
+        return x.reshape(bp, A, B).transpose(2, 0, 1).reshape(B, bp * A)
+
+    olo, ohi = _fused_call(
+        q, B, A, plan.w2if, plan.w1if, plan.tiled_tabs_inv(tile),
+        to_kernel_layout(vlo), to_kernel_layout(vhi), bp, tile, out_factor,
+    )
+
+    def from_kernel_layout(x):
+        # output blocks: rows (poly, k0), cols k1 -> natural (b, k1, k0)
+        return (
+            x.reshape(bp, B, A).transpose(0, 2, 1).reshape(bp, n)[:b]
+            .reshape(*batch_shape, n)
+        )
+
+    return U64(from_kernel_layout(olo), from_kernel_layout(ohi))

@@ -94,3 +94,68 @@ def test_mxu_fused_lazy_and_padding():
     lazy = from_u64_pair(mxu_fused_forward64(plan, v, 4, 4))
     assert (lazy < 4 * q).all()
     assert ((lazy % q) == canon).all()
+
+
+@pytest.mark.parametrize(
+    "log_n,q",
+    [
+        (8, 536813569),
+        (8, 1125899906826241),
+        (7, 562949953392641),
+    ],
+)
+def test_mxu_inverse_matches_golden(log_n, q):
+    from primus_fhe_tpu.ops.ntt_mxu import mxu_fused_inverse64, mxu_inverse64
+
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(13 + log_n)
+    vals = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    plan = MxuNttPlan64(log_n, q)
+    out = from_u64_pair(mxu_inverse64(plan, to_u64_pair(vals), 1))
+    outf = from_u64_pair(mxu_fused_inverse64(plan, to_u64_pair(vals), 1, 4))
+    for row in range(vals.shape[0]):
+        expect = g.inverse([int(x) for x in vals[row]])
+        assert [int(x) for x in out[row]] == expect, ("einsum", row)
+        assert [int(x) for x in outf[row]] == expect, ("fused", row)
+
+
+def test_mxu_roundtrip_lazy():
+    """fwd (lazy out) -> inv accepts the lazy representative; exact values."""
+    from primus_fhe_tpu.ops.ntt_mxu import mxu_fused_inverse64
+
+    log_n, q = 8, 1125899906826241
+    n = 1 << log_n
+    rng = np.random.default_rng(17)
+    vals = rng.integers(0, q, size=(4, n), dtype=np.uint64)
+    plan = MxuNttPlan64(log_n, q)
+    from primus_fhe_tpu.ops.ntt_mxu import mxu_fused_forward64
+
+    f = mxu_fused_forward64(plan, to_u64_pair(vals), 4, 4)
+    rt = from_u64_pair(mxu_fused_inverse64(plan, f, 1, 4))
+    assert (rt == vals).all()
+    lazy = from_u64_pair(mxu_fused_inverse64(plan, f, 2, 4))
+    assert (lazy < 2 * q).all()
+    assert ((lazy % q) == vals).all()
+
+
+def test_mxu_nondefault_h1():
+    """h1 override: golden equivalence away from the square split, and
+    out-of-range h1 rejected (advisor finding)."""
+    from primus_fhe_tpu.ops.ntt_mxu import mxu_inverse64
+
+    log_n, q = 8, 1125899906826241
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    plan = MxuNttPlan64(log_n, q, h1=5)
+    out = from_u64_pair(mxu_forward64(plan, to_u64_pair(vals), 1))
+    inv = from_u64_pair(mxu_inverse64(plan, to_u64_pair(vals), 1))
+    for row in range(vals.shape[0]):
+        assert [int(x) for x in out[row]] == g.forward([int(x) for x in vals[row]])
+        assert [int(x) for x in inv[row]] == g.inverse([int(x) for x in vals[row]])
+    with pytest.raises(ValueError):
+        MxuNttPlan64(8, q, h1=9)
+    with pytest.raises(ValueError):
+        MxuNttPlan64(8, q, h1=-1)
