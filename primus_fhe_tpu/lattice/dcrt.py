@@ -59,26 +59,39 @@ def _digits_to_dcrt(digit_u32, basis, rns_base, plan, out_factor=1):
 
 @functools.partial(jax.jit, static_argnums=(3, 5))
 def add_dcrt_glev_mul_crt_poly(
-    acc,  # U64 (n_mod, k+1, N) NTT domain
-    glev,  # U64 (level, n_mod, k+1, N) NTT domain
-    crt_poly,  # U64 (n_mod, N) coeff domain residues
+    acc,  # U64 (n_mod, ..., k+1, N) NTT domain (optional batch dims)
+    glev,  # U64 (level, n_mod, k+1, N) NTT domain (shared across batch)
+    crt_poly,  # U64 (n_mod, ..., N) coeff domain residues
     basis: BigUintApproxSignedBasis,
     plan: DcrtPlan64,
     rns_base: RNSBase64,
 ) -> U64:
-    """``acc += glev * gadget_decompose(crt_poly)`` (dcrt.rs:178-260)."""
-    # 1. CRT compose: residues -> (N, L) big-int coefficients.
+    """``acc += glev * gadget_decompose(crt_poly)`` (dcrt.rs:178-260).
+
+    Rank-polymorphic over batch dims between the residue and coefficient
+    axes: every NTT call then carries the whole ``batch*(k+1)`` poly block
+    in ONE fused-kernel invocation (the TPU-side answer to the reference's
+    one-ciphertext-at-a-time loop)."""
+    extra = crt_poly.lo.ndim - 2  # batch dims between n_mod and N
+    k1 = acc.lo.shape[-2]
+    n_mod = rns_base.count
+    n = crt_poly.lo.shape[-1]
+
+    # 1. CRT compose: residues -> (..., N, L) big-int coefficients.
     big = rns_base.compose(crt_poly)
 
     # 2. carry init + per-level unsigned digits.
     v, carries = basis.init_value_carry(big)
 
-    m = _m_bc(rns_base, 2)
+    m = _m_bc(rns_base, extra + 2)
+    g_shape = (n_mod,) + (1,) * extra + (k1, n)
     for lvl in range(basis.decompose_length):
         digit, carries = basis.unsigned_decompose_level(v, carries, lvl)
-        f = _digits_to_dcrt(digit, basis, rns_base, plan)  # (n_mod, N)
-        f = U64(f.lo[:, None, :], f.hi[:, None, :])  # broadcast over k+1
-        g = U64(glev.lo[lvl], glev.hi[lvl])  # (n_mod, k+1, N)
+        f = _digits_to_dcrt(digit, basis, rns_base, plan)  # (n_mod, ..., N)
+        f = U64(f.lo[..., None, :], f.hi[..., None, :])  # broadcast over k+1
+        g = U64(
+            glev.lo[lvl].reshape(g_shape), glev.hi[lvl].reshape(g_shape)
+        )  # broadcast over batch
         prod = mul64(g, f, m)
         acc = add64(acc, prod, m.value)
     return acc
@@ -86,23 +99,21 @@ def add_dcrt_glev_mul_crt_poly(
 
 @functools.partial(jax.jit, static_argnums=(2, 4))
 def crt_glwe_mul_dcrt_ggsw(
-    crt_glwe,  # U64 (n_mod, k+1, N) coeff-domain residues
+    crt_glwe,  # U64 (n_mod, ..., k+1, N) coeff-domain residues
     ggsw,  # U64 (k+1, level, n_mod, k+1, N) NTT domain
     basis: BigUintApproxSignedBasis,
     plan: DcrtPlan64,
     rns_base: RNSBase64,
 ) -> U64:
     """External product in the RNS domain (crt.rs:200): each input
-    component feeds one GLev row.  Returns a DcrtGlwe ``(n_mod, k+1, N)``
-    in the NTT domain."""
-    k1 = crt_glwe.lo.shape[1]
-    n = crt_glwe.lo.shape[2]
+    component feeds one GLev row.  Returns a DcrtGlwe ``(n_mod, ..., k+1,
+    N)`` in the NTT domain (batch dims pass through)."""
+    k1 = crt_glwe.lo.shape[-2]
     acc = U64(
-        jnp.zeros((rns_base.count, k1, n), dtype=_U32),
-        jnp.zeros((rns_base.count, k1, n), dtype=_U32),
+        jnp.zeros_like(crt_glwe.lo), jnp.zeros_like(crt_glwe.hi)
     )
     for r in range(k1):
-        poly_r = U64(crt_glwe.lo[:, r, :], crt_glwe.hi[:, r, :])
+        poly_r = U64(crt_glwe.lo[..., r, :], crt_glwe.hi[..., r, :])
         glev_r = U64(ggsw.lo[r], ggsw.hi[r])
         acc = add_dcrt_glev_mul_crt_poly(acc, glev_r, poly_r, basis, plan, rns_base)
     return acc

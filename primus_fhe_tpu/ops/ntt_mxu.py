@@ -44,8 +44,13 @@ from ..utils.bits import reverse_lsbs
 from .ntt_pallas import (
     _add64,
     _const64,
+    _hi_limbs,
     _make_shoup_lazy64,
+    _mul_lo64,
     _reduce_once64,
+    _shl64,
+    _solinas_form,
+    _sub64,
 )
 
 _U32 = jnp.uint32
@@ -130,26 +135,37 @@ class MxuNttPlan64:
     of the (A, B) axes swapped.
     """
 
-    def __init__(self, log_n: int, q: int, h1: int | None = None):
+    def __init__(
+        self,
+        log_n: int,
+        q: int,
+        h1: int | None = None,
+        h1_inv: int | None = None,
+    ):
         if q >= 1 << 53:
             raise ValueError("MxuNttPlan64 requires q < 2^53 (8-limb bound)")
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.q = q
+        # Default splits keep the fused kernel's per-poly lane block (B for
+        # the forward, A for the inverse) a multiple of the 128-lane tile:
+        # Mosaic's non-128-aligned lane restack silently miscompiles (seen
+        # at B=64, log_n=12) and is slower even where it works.
         if h1 is None:
-            h1 = (log_n + 1) // 2
-        if not 0 <= h1 <= log_n:
-            raise ValueError(f"h1 must be in [0, {log_n}], got {h1}")
-        h2 = log_n - h1
+            h1 = log_n - max(7, -(-log_n // 2)) if log_n >= 10 else (log_n + 1) // 2
+        if h1_inv is None:
+            # the mirrored inverse kernel wants the SAME lane-aligned split
+            # as the forward (its lane block is Bi)
+            h1_inv = h1
+        for name, v in (("h1", h1), ("h1_inv", h1_inv)):
+            if not 0 <= v <= log_n:
+                raise ValueError(f"{name} must be in [0, {log_n}], got {v}")
         self.A = A = 1 << h1
-        self.B = B = 1 << h2
+        self.B = B = 1 << (log_n - h1)
+        self.Ai = Ai = 1 << h1_inv
+        self.Bi = Bi = 1 << (log_n - h1_inv)
         g = GoldenNtt(log_n, q)
         psi = g.root
-        omega = psi * psi % q
-        om_a = pow(omega, B, q)  # order A
-        om_b = pow(omega, A, q)  # order B
-        rev1 = [reverse_lsbs(i, h1) for i in range(A)]
-        rev2 = [reverse_lsbs(i, h2) for i in range(B)]
 
         def vandermonde(col_pows, row_pows):
             """``M[r, c] = col_pows[c] * row_pows[r]^c`` — built per row from
@@ -164,19 +180,22 @@ class MxuNttPlan64:
                     acc = acc * base % q
             return m
 
-        ones_a = [1] * A
-        ones_b = [1] * B
+        # --- forward matrices (split A x B) ------------------------------
+        omega = psi * psi % q
+        om_a = pow(omega, B, q)  # order A
+        om_b = pow(omega, A, q)  # order B
+        rev1 = [reverse_lsbs(i, h1) for i in range(A)]
+        rev2 = [reverse_lsbs(i, log_n - h1) for i in range(B)]
         psi_b = _pow_table(pow(psi, B, q), q, A)  # psi^{B k1}
         om_a_rev = [pow(om_a, e, q) for e in rev1]
         om_b_rev = [pow(om_b, e, q) for e in rev2]
         psi_pows = _pow_table(psi, q, B)  # psi^{k0}
         om_rev = [pow(omega, e, q) for e in rev1]
 
-        # --- forward matrices -------------------------------------------
         # m1[r0, k1] = psi^{B k1} om_A^{rev1[r0] k1}
         m1 = vandermonde(psi_b, om_a_rev)
         # m2[r1, k0] = om_B^{rev2[r1] k0}
-        m2 = vandermonde(ones_b, om_b_rev)
+        m2 = vandermonde([1] * B, om_b_rev)
         # tw[r0, k0] = psi^{k0} omega^{rev1[r0] k0}
         tw = vandermonde(psi_pows, om_rev)
         tw28 = (tw * ((1 << 28) % q)) % q
@@ -195,55 +214,82 @@ class MxuNttPlan64:
         self.w2f = jnp.asarray(_limb_matrix(m2, q, block=True).T)
         self._tiled: dict = {}
 
-        # --- inverse matrices (see class docstring) ----------------------
+        # --- inverse matrices (independent split Ai x Bi; see class
+        # docstring) -------------------------------------------------------
         ipsi = pow(psi, 2 * n - 1, q)
         iom = ipsi * ipsi % q
-        iom_a = pow(iom, B, q)
-        iom_b = pow(iom, A, q)
+        iom_a = pow(iom, Bi, q)
+        iom_b = pow(iom, Ai, q)
         inv_n = g.inv_n
-        iom_a_rev = [pow(iom_a, e, q) for e in rev1]
-        iom_b_rev = [pow(iom_b, e, q) for e in rev2]
-        ipsi_pows = _pow_table(ipsi, q, B)
-        iom_rev = [pow(iom, e, q) for e in rev1]
+        rev1i = [reverse_lsbs(i, h1_inv) for i in range(Ai)]
+        rev2i = [reverse_lsbs(i, log_n - h1_inv) for i in range(Bi)]
+        iom_a_rev = [pow(iom_a, e, q) for e in rev1i]
+        iom_b_rev = [pow(iom_b, e, q) for e in rev2i]
+        ipsi_pows = _pow_table(ipsi, q, Bi)
+        iom_rev = [pow(iom, e, q) for e in rev1i]
         # m2i[k0, r1] = iom_B^{rev2[r1] k0}: rows k0, so transpose the
         # vandermonde built over rows rev2.
-        m2i = vandermonde(ones_b, iom_b_rev).T.copy()
-        # twi_t[k0, r0] = ipsi^{k0} iom^{rev1[r0] k0} (transposed layout:
-        # the inverse kernel's value grid is (k0, poly*r0)).
-        twi_t = vandermonde(ipsi_pows, iom_rev).T.copy()
+        m2i = vandermonde([1] * Bi, iom_b_rev).T.copy()
+        # twi[r0, k0] = ipsi^{k0} iom^{rev1[r0] k0} (the mirrored kernel's
+        # value grid after pass 1 is rows (poly, r0), lanes k0); the einsum
+        # path reads the transposed tables.
+        twi = vandermonde(ipsi_pows, iom_rev)
+        twi_t = twi.T.copy()
         twi28_t = (twi_t * ((1 << 28) % q)) % q
         # m1i[k1, r0] = inv_n ipsi^{B k1} iom_A^{rev1[r0] k1}: rows k1.
-        ipsi_b = _pow_table(pow(ipsi, B, q), q, A)
+        ipsi_b = _pow_table(pow(ipsi, Bi, q), q, Ai)
         m1i = vandermonde([p * inv_n % q for p in ipsi_b], iom_a_rev).T.copy()
 
         self.w2i = jnp.asarray(_limb_matrix(m2i, q))
         self.w1i = jnp.asarray(_limb_matrix(m1i, q))
         self.ti_tabs = _shoup_tabs(twi_t, q)
         self.ti28_tabs = _shoup_tabs(twi28_t, q)
-        self.w2if = jnp.asarray(_limb_matrix(m2i, q, block=True))
-        self.w1if = jnp.asarray(_limb_matrix(m1i, q, block=True).T)
+        # mirrored fused-kernel matrices: pass 1 is a RIGHT dot (contract
+        # the lane axis r1), pass 2 a LEFT dot (contract the sublane r0)
+        self.w1mf = jnp.asarray(_limb_matrix(m2i, q, block=True).T)
+        self.w2mf = jnp.asarray(_limb_matrix(m1i, q, block=True))
+        self.tim_tabs = _shoup_tabs(twi, q)
+        self.tim28_tabs = _shoup_tabs((twi * ((1 << 28) % q)) % q, q)
         self._tiled_inv: dict = {}
 
-    def _tile_cache(self, cache, tabs, tile):
+    def _tile_cache(self, cache, tabs, tile, axis):
         got = cache.get(tile)
         if got is None:
             # host numpy only: anything jnp-created while a jit trace is
             # active would be a tracer and leak into later traces.
-            got = tuple(np.tile(np.asarray(t), (1, tile)) for t in tabs)
+            reps = (1, tile) if axis == 1 else (tile, 1)
+            got = tuple(np.tile(np.asarray(t), reps) for t in tabs)
             cache[tile] = got
         return got
 
     def tiled_tabs(self, tile: int):
         """Forward twiddle tables pre-tiled to ``(A, tile*B)`` (cached per
         tile), so the fused kernel reads them directly instead of
-        broadcasting."""
-        return self._tile_cache(self._tiled, self.t_tabs + self.t28_tabs, tile)
+        broadcasting.  Solinas primes fold the two digit-sum halves before
+        the twiddle, so only the 8 base tables are needed."""
+        tabs = self.t_tabs if _mxu_solinas(self.q) else self.t_tabs + self.t28_tabs
+        return self._tile_cache(self._tiled, tabs, tile, axis=1)
 
     def tiled_tabs_inv(self, tile: int):
-        """Inverse twiddle tables pre-tiled to ``(B, tile*A)``."""
-        return self._tile_cache(
-            self._tiled_inv, self.ti_tabs + self.ti28_tabs, tile
+        """Mirrored-inverse twiddle tables pre-tiled to ``(tile*Ai, Bi)``
+        (polys ride the sublanes in the mirrored kernel)."""
+        tabs = (
+            self.tim_tabs
+            if _mxu_solinas(self.q)
+            else self.tim_tabs + self.tim28_tabs
         )
+        return self._tile_cache(self._tiled_inv, tabs, tile, axis=0)
+
+    def inverse_mul_tabs(self, key, tile: int):
+        """Shoup tables for a fixed NTT-domain operand (bit-reversed order,
+        canonical values), pre-tiled into the mirrored inverse kernel's
+        value layout ``(tile*Ai, Bi)`` — for
+        :func:`mxu_fused_inverse64_mul`.  ``key`` is a host array of ints
+        in [0, q)."""
+        m = np.asarray([int(v) for v in np.asarray(key).reshape(-1)], dtype=object)
+        m = m.reshape(self.Ai, self.Bi)
+        tabs = _shoup_tabs(m, self.q)
+        return tuple(jnp.tile(t, (tile, 1)) for t in tabs)
 
 
 def _split7_list(lo, hi):
@@ -343,7 +389,7 @@ def mxu_inverse64(plan: MxuNttPlan64, values: U64, out_factor: int = 1) -> U64:
     normal-order output in ``[0, out_factor*q)``), ``inv_n`` folded into
     the pass-2 matrix."""
     q = plan.q
-    n, A, B = plan.n, plan.A, plan.B
+    n, A, B = plan.n, plan.Ai, plan.Bi
     shoup = _make_shoup_lazy64(q, exact=False)
     qc = _const64(q)
 
@@ -391,124 +437,354 @@ def mxu_inverse64(plan: MxuNttPlan64, values: U64, out_factor: int = 1) -> U64:
 # ---------------------------------------------------------------------------
 
 
+def _shr64p(xlo, xhi, k: int):
+    """``x >> k`` on (lo, hi) u32 pairs; static k in (0, 64)."""
+    if k < 32:
+        return (xlo >> k) | (xhi << (32 - k)), xhi >> k
+    if k == 32:
+        return xhi, jnp.zeros_like(xhi)
+    return xhi >> (k - 32), jnp.zeros_like(xhi)
+
+
+def _mask64p(xlo, xhi, bits: int):
+    """``x & (2^bits - 1)`` on (lo, hi) u32 pairs; static bits in (0, 64)."""
+    if bits < 32:
+        return xlo & ((1 << bits) - 1), jnp.zeros_like(xhi)
+    if bits == 32:
+        return xlo, jnp.zeros_like(xhi)
+    return xlo, xhi & ((1 << (bits - 32)) - 1)
+
+
+def _mxu_solinas(q: int):
+    """Solinas form usable by the fused kernel's fold paths: the 2^28
+    split in :func:`_fold28` needs ``a > 28``."""
+    sol = _solinas_form(q)
+    return sol if sol is not None and sol[0] > 28 else None
+
+
+def _fold28_bound(half_bound: int, sol) -> int:
+    """Upper bound of :func:`_fold28`'s output given both halves are
+    < ``half_bound`` (exact Python-int arithmetic)."""
+    a, b = sol
+    vh1 = (half_bound - 1) >> (a - 28)
+    return half_bound + (1 << a) + vh1 * ((1 << b) - 1)
+
+
+def _fold28(vl, vh, sol):
+    """``Vlow + 2^28 * Vhigh  (mod q)`` for a Solinas prime
+    ``q = 2^a - 2^b + 1`` — multiply-free (shift/add folds using
+    ``2^a === 2^b - 1``).  Inputs are u32 pairs < 2^46; the returned pair
+    is an exact mod-q representative < ``2^46 + 2^a + 2^(74-a+b)``."""
+    a, b = sol
+    s = a - 28  # Vhigh split point: 2^28 * 2^s = 2^a
+    vh1 = _shr64p(*vh, s)  # < 2^(46-s)
+    vh0 = _mask64p(*vh, s)
+    t = _sub64(*_shl64(*vh1, b), *vh1)  # vh1 * (2^b - 1) >= 0
+    r = _add64(*vl, *_shl64(*vh0, 28))
+    return _add64(*r, *t)
+
+
+def _solinas_down(r, bound: int, sol, q: int):
+    """Folds a mod-q representative ``r < bound`` down to ``[0, 2q)`` via
+    repeated ``2^a === 2^b - 1`` splits (no multiplies, no compares)."""
+    a, b = sol
+    while bound > 2 * q:
+        r1 = _shr64p(*r, a)
+        r0 = _mask64p(*r, a)
+        t = _sub64(*_shl64(*r1, b), *r1)
+        r = _add64(*r0, *t)
+        hi = (bound - 1) >> a
+        bound = (1 << a) + hi * ((1 << b) - 1)
+    return r
+
+
+def _make_shoup_narrow64(q: int):
+    """Approximate lazy Shoup multiply specialized to ``y < 2^48``
+    (``y3 = 0``): same contract as ``_make_shoup_lazy64(q, exact=False)``
+    (output < 4q) with the four y3 limb products dropped."""
+    sol = _solinas_form(q)
+
+    def shoup(ylo, yhi, wlo, whi, w0, w1, p0, p1, p2, p3, qlo, qhi):
+        y0 = ylo & 0xFFFF
+        y1 = ylo >> 16
+        # yhi < 2^16: hi32(yhi * p) needs only the y2 row of the grid.
+        h01 = _hi_limbs(ylo, y0, y1, p2, p3)
+        m1 = (yhi * p0) >> 16
+        h10 = (yhi * p1 + m1) >> 16
+        l11 = yhi * (p2 | (p3 << 16))
+        h11 = (yhi * p3 + ((yhi * p2) >> 16)) >> 16
+        s2 = h01 + h10
+        c2 = (s2 < h01).astype(_U32)
+        s2b = s2 + l11
+        c2 = c2 + (s2b < s2).astype(_U32)
+        hlo = s2b
+        hhi = h11 + c2
+        wy_lo = wlo * ylo
+        wy_hi = _hi_limbs(wlo, w0, w1, y0, y1) + wlo * yhi + whi * ylo
+        if sol is None:
+            qq_lo, qq_hi = _mul_lo64(qlo, qhi, hlo, hhi)
+        else:
+            a, b = sol
+            s1lo, s1hi = _shl64(hlo, hhi, a)
+            s2lo, s2hi = _shl64(hlo, hhi, b)
+            qq_lo, qq_hi = _sub64(s1lo, s1hi, s2lo, s2hi)
+            qq_lo, qq_hi = _add64(qq_lo, qq_hi, hlo, hhi)
+        return _sub64(wy_lo, wy_hi, qq_lo, qq_hi)
+
+    return shoup
+
+
 def _recombine_half(d):
-    """u64 pair ``sum_c d[c] 2^(7c)`` of four u32 digit planes (< 2^23)."""
-    lo = d[0]
-    hi = jnp.zeros_like(lo)
-    for c in range(1, 4):
-        s = 7 * c
-        lo, hi = _add64(lo, hi, d[c] << s, d[c] >> (32 - s))
-    return lo, hi
+    """u64 pair ``sum_c d[c] 2^(7c)`` of four u32 digit planes.
+
+    Valid while the digit bound keeps ``d0 + (d1 << 7) < 2^32`` — i.e.
+    digit sums < 2^25, true for every MXU split up to max(A,B) = 256
+    (K = 2048 contraction terms, K*127^2 < 2^25): pair up 7-bit-shifted
+    digits carry-free in u32, then one carrying 14-bit combine."""
+    e0 = d[0] + (d[1] << 7)  # < 2^32, exact in u32
+    e1 = d[2] + (d[3] << 7)
+    return _add64(e0, jnp.zeros_like(e0), e1 << 14, e1 >> 18)
 
 
-def _make_fused_kernel(q: int, A: int, B: int, out_factor: int, tile: int):
-    """Direction-generic fused four-step kernel body.
 
-    The value grid is ``(A, tile*B)``: pass 1 contracts the sublane axis
-    against ``w1_ref`` (8A, 8A), the twiddle applies per-lane Shoup tables
-    (A, tile*B), pass 2 contracts each poly's lane block against ``w2_ref``
-    (8B, 8B), output blocks are ``(tile*A, B)``.  Forward passes (A, B) =
-    (plan.A, plan.B) with the forward matrices; inverse swaps the axes —
-    (plan.B, plan.A) — with the inverse matrices (see MxuNttPlan64)."""
-    import jax.lax as lax
 
-    shoup = _make_shoup_lazy64(q, exact=False)
-    dot = functools.partial(
-        lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+def _sconst(w: int, q: int):
+    """Scalar Shoup table (same 8-slot layout as :func:`_shoup_tabs`)."""
+    pre = ((w << 64) // q) & 0xFFFFFFFFFFFFFFFF
+    lo, hi = w & 0xFFFFFFFF, w >> 32
+    return (
+        *_const64(w),
+        *_const64(lo & 0xFFFF)[:1],
+        *_const64(lo >> 16)[:1],
+        *_const64(pre & 0xFFFF)[:1],
+        *_const64((pre >> 16) & 0xFFFF)[:1],
+        *_const64((pre >> 32) & 0xFFFF)[:1],
+        *_const64(pre >> 48)[:1],
     )
+
+
+def _finish(q, sol, shoup, narrow, v2l, v2h, half_bound, out_factor, qc):
+    """Final fold of pass-2 digit-sum halves down to the output range.
+
+    Solinas primes: multiply-free shift/add folds straight to [0, 2q).
+    General q: Shoup-fold the high half, then one Barrett multiply."""
+    if sol:
+        r = _fold28(v2l, v2h, sol)
+        rlo, rhi = _solinas_down(r, _fold28_bound(half_bound, sol), sol, q)
+    else:
+        mh = narrow(*v2h, *_sconst((1 << 28) % q, q), *qc)
+        tlo, thi = _add64(*v2l, *mh)  # < 2^46 + 4q
+        rlo, rhi = shoup(tlo, thi, *_sconst(1, q), *qc)  # Barrett, [0, 4q)
+        if out_factor <= 2:
+            rlo, rhi = _reduce_once64(rlo, rhi, *_const64(2 * q))
+    if out_factor == 1:
+        rlo, rhi = _reduce_once64(rlo, rhi, *qc)
+    return rlo, rhi
+
+
+def _twiddle(sol, shoup, narrow, v_lo, v_hi, t_t, t28_t, qc):
+    """Middle twiddle on recombined digit-sum halves (< 2^46 each).
+
+    Solinas: fold the halves into one representative, ONE full Shoup mul
+    (< 4q out).  General q: two narrow (y3 = 0) Shoup muls (< 8q out)."""
+    if sol:
+        return shoup(*_fold28(v_lo, v_hi, sol), *t_t, *qc)
+    m1 = narrow(*v_lo, *t_t, *qc)
+    m2 = narrow(*v_hi, *t28_t, *qc)
+    return _add64(*m1, *m2)
+
+
+_DOT = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.int32,
+)
+
+
+def _make_fwd_kernel(q: int, A: int, B: int, out_factor: int, tile: int):
+    """Forward four-step kernel, natural layout in and out.
+
+    Input/output blocks are ``(tile*A, B)`` — a free reshape of the natural
+    ``(batch, n)`` array (rows ``(poly, k1)`` in / ``(poly, r0)`` out) — so
+    NO XLA-side transpose ever materializes.  Pass 1 restacks the tile into
+    one ``(8A, tile*B)`` right operand of a shared dot; the twiddle applies
+    pre-tiled ``(A, tile*B)`` Shoup tables; pass 2 restacks into one
+    ``(tile*A, 8B)`` left operand (the restack slices are all 128-lane /
+    8-sublane aligned — Mosaic silently miscompiles unaligned ones).
+
+    For Solinas primes ``q = 2^a - 2^b + 1`` (both reference u64 bench
+    primes, crates/primus_ntt/benches/bench_u64.rs:8) the digit-sum halves
+    fold with shift/adds (``2^a === 2^b - 1``): the twiddle costs ONE Shoup
+    multiply and the final reduction costs none — the integer analogue of
+    HEXL's special-prime path, applied to the four-step middle/final stages
+    instead of the butterfly."""
+    sol = _mxu_solinas(q)
+    shoup = _make_shoup_lazy64(q, exact=False)
+    narrow = _make_shoup_narrow64(q)
+    n_tabs = 8 if sol else 16
+    half_bound = (1 << 21) * 8 * max(A, B) * 127 * 127
+    # _recombine_half's carry-free 7-bit pairing needs digit sums < 2^25
+    assert 129 * 8 * max(A, B) * 127 * 127 < (1 << 32), "split too wide"
+
+    cs = tile
+    for c in (4, 2, 1):  # chunk size: >=128 dot rows, >=2 chunks if possible
+        if tile % c == 0 and c * A >= 128 and c < tile:
+            cs = c
+            break
+    chunks = tile // cs
 
     def kernel(w1_ref, w2_ref, *rest):
         t_refs = rest[:8]
-        t28_refs = rest[8:16]
-        vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[16:]
+        t28_refs = rest[8:16] if not sol else ()
+        vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[n_tabs : n_tabs + 4]
         qc = _const64(q)
 
-        vlo = vlo_ref[:]  # (A, tile*B), rows k1, cols (poly, k0)
-        vhi = vhi_ref[:]
-        # pass 1: one shared dot over the whole tile (polys ride the lanes)
-        x8 = jnp.concatenate(_split7_list(vlo, vhi), axis=0)  # (8A, tile*B)
-        o1 = dot(w1_ref[:], x8)  # (8A, tile*B), rows (c, r0)
-        digs = [o1[c * A : (c + 1) * A, :].astype(_U32) for c in range(_LIMBS)]
-        v_lo = _recombine_half(digs[:4])
-        v_hi = _recombine_half(digs[4:])
+        # The tile is processed in `chunks` slabs with the three stages
+        # emitted grouped (all pass-1 dots first, ...), so the scheduler
+        # can overlap one chunk's VPU bookkeeping with another's matmul.
+        def stage1(g):
+            # pass 1 restack: limbs ride the sublanes, polys ride the lanes
+            parts = []
+            for p in range(g * cs, (g + 1) * cs):
+                sl = vlo_ref[p * A : (p + 1) * A, :]
+                sh = vhi_ref[p * A : (p + 1) * A, :]
+                parts.append(jnp.concatenate(_split7_list(sl, sh), axis=0))
+            x8 = jnp.concatenate(parts, axis=1)  # (8A, cs*B)
+            return _DOT(w1_ref[:], x8)  # rows (c, r0)
 
-        # twiddle (tables arrive pre-tiled to (A, tile*B); no in-kernel
-        # broadcast relayouts)
-        t_t = [r[:] for r in t_refs]
-        t28_t = [r[:] for r in t28_refs]
-        m1 = shoup(*v_lo, *t_t, *qc)
-        m2 = shoup(*v_hi, *t28_t, *qc)
-        s2lo, s2hi = _add64(*m1, *m2)  # < 8q < 2^56
+        def stage2(g, o1):
+            digs = [
+                o1[c * A : (c + 1) * A, :].astype(_U32) for c in range(_LIMBS)
+            ]
+            v_lo = _recombine_half(digs[:4])
+            v_hi = _recombine_half(digs[4:])
+            lanes = slice(g * cs * B, (g + 1) * cs * B)
+            t_t = [r[:, lanes] for r in t_refs]
+            t28_t = [r[:, lanes] for r in t28_refs]
+            s2lo, s2hi = _twiddle(sol, shoup, narrow, v_lo, v_hi, t_t, t28_t, qc)
+            # pass 2 restack: full-height (cs*A, 8B) dot (cs*A >= 128 keeps
+            # the systolic array's row dimension saturated)
+            parts = []
+            for p in range(cs):
+                sl = s2lo[:, p * B : (p + 1) * B]
+                sh = s2hi[:, p * B : (p + 1) * B]
+                parts.append(jnp.concatenate(_split7_list(sl, sh), axis=1))
+            a2 = jnp.concatenate(parts, axis=0)  # (cs*A, 8B)
+            return _DOT(a2, w2_ref[:])  # (cs*A, 8B), cols (c, r1)
 
-        # scalar fold/reduce constants, baked into the kernel
-        def sconst(w):
-            pre = ((w << 64) // q) & 0xFFFFFFFFFFFFFFFF
-            lo, hi = w & 0xFFFFFFFF, w >> 32
-            return (
-                *_const64(w),
-                *_const64(lo & 0xFFFF)[:1],
-                *_const64(lo >> 16)[:1],
-                *_const64(pre & 0xFFFF)[:1],
-                *_const64((pre >> 16) & 0xFFFF)[:1],
-                *_const64((pre >> 32) & 0xFFFF)[:1],
-                *_const64(pre >> 48)[:1],
-            )
-
-        k28_tabs = sconst((1 << 28) % q)
-        one_tabs = sconst(1)
-
-        # pass 2: per-poly dot (r0 rows x (l, k0) lanes) @ W2.  (A restack
-        # into one (tile*A, 8B) dot crashes the Mosaic compiler on the
-        # lane-slice + sublane-concat relayout; the per-poly form lowers.)
-        for p in range(tile):
-            sl = s2lo[:, p * B : (p + 1) * B]
-            sh = s2hi[:, p * B : (p + 1) * B]
-            a2 = jnp.concatenate(_split7_list(sl, sh), axis=1)  # (A, 8B)
-            o2 = dot(a2, w2_ref[:])  # (A, 8B), cols (c, r1)
-            d2 = [o2[:, c * B : (c + 1) * B].astype(_U32) for c in range(_LIMBS)]
+        def stage3(g, o2):
+            d2 = [
+                o2[:, c * B : (c + 1) * B].astype(_U32) for c in range(_LIMBS)
+            ]
             v2l = _recombine_half(d2[:4])
             v2h = _recombine_half(d2[4:])
-            mh = shoup(*v2h, *k28_tabs, *qc)
-            tlo, thi = _add64(*v2l, *mh)  # < 2^46 + 4q
-            rlo, rhi = shoup(tlo, thi, *one_tabs, *qc)  # Barrett, [0, 4q)
-            if out_factor <= 2:
-                rlo, rhi = _reduce_once64(rlo, rhi, *_const64(2 * q))
-            if out_factor == 1:
-                rlo, rhi = _reduce_once64(rlo, rhi, *qc)
-            olo_ref[p * A : (p + 1) * A, :] = rlo
-            ohi_ref[p * A : (p + 1) * A, :] = rhi
+            rlo, rhi = _finish(
+                q, sol, shoup, narrow, v2l, v2h, half_bound, out_factor, qc
+            )
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            olo_ref[rows, :] = rlo
+            ohi_ref[rows, :] = rhi
+
+        o1s = [stage1(g) for g in range(chunks)]
+        o2s = [stage2(g, o1) for g, o1 in enumerate(o1s)]
+        for g, o2 in enumerate(o2s):
+            stage3(g, o2)
 
     return kernel
 
 
-def _fused_call(q, S, L, w1f, w2f, tabs, vlo_t, vhi_t, bp, tile, out_factor):
-    """Shared pallas_call scaffolding for the fused four-step kernels.
+def _make_inv_kernel(
+    q: int, A: int, B: int, out_factor: int, tile: int, mul: bool
+):
+    """Inverse four-step kernel, natural layout in and out (mirror of
+    :func:`_make_fwd_kernel`: pass 1 contracts the LANE axis via a right
+    dot, pass 2 the sublane axis via a left dot, so bit-reversed natural
+    input (rows ``(poly, r0)``, lanes ``r1``) flows through without any
+    XLA transpose).  (A, B) here are the plan's inverse split (Ai, Bi).
 
-    ``vlo_t/vhi_t`` arrive in the (S, bp*L) kernel layout; returns the two
-    (bp*S, L) output planes."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    ``mul=True`` fuses an elementwise lazy Shoup multiply by pre-permuted
+    operand tables before the transform — the NTT-domain half of a
+    negacyclic product (pointwise mul + INTT,
+    crates/primus_lattice/src/rlwe/coeff.rs:114-116) in one kernel."""
+    sol = _mxu_solinas(q)
+    shoup = _make_shoup_lazy64(q, exact=False)
+    narrow = _make_shoup_narrow64(q)
+    n_tabs = (8 if sol else 16) + (8 if mul else 0)
+    half_bound = (1 << 21) * 8 * max(A, B) * 127 * 127
+    assert 129 * 8 * max(A, B) * 127 * 127 < (1 << 32), "split too wide"
 
-    kernel = _make_fused_kernel(q, S, L, out_factor, tile)
-    grid = (bp // tile,)
-    w_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
-    val_spec = pl.BlockSpec((S, tile * L), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile * S, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[w_spec((S * _LIMBS, S * _LIMBS)), w_spec((L * _LIMBS, L * _LIMBS))]
-        + [w_spec((S, tile * L))] * 16
-        + [val_spec] * 2,
-        out_specs=[out_spec] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((bp * S, L), jnp.uint32),
-            jax.ShapeDtypeStruct((bp * S, L), jnp.uint32),
-        ],
-        interpret=jax.default_backend() != "tpu",
-    )(w1f, w2f, *tabs, vlo_t, vhi_t)
+    cs = tile
+    for c in (4, 2, 1):  # chunk size: >=128 dot rows, >=2 chunks if possible
+        if tile % c == 0 and c * A >= 128 and c < tile:
+            cs = c
+            break
+    chunks = tile // cs
+
+    def kernel(w1m_ref, w2m_ref, *rest):
+        t_refs = rest[:8]
+        pos = 8 if sol else 16
+        t28_refs = rest[8:16] if not sol else ()
+        mul_refs = rest[pos : pos + 8] if mul else ()
+        vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[n_tabs : n_tabs + 4]
+        qc = _const64(q)
+
+        # chunked, stage-grouped emission (see _make_fwd_kernel)
+        def stage1(g):
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            vlo = vlo_ref[rows, :]  # (cs*A, B): rows (poly, r0), lanes r1
+            vhi = vhi_ref[rows, :]
+            if mul:
+                m_t = [r[rows, :] for r in mul_refs]
+                vlo, vhi = shoup(vlo, vhi, *m_t, *qc)
+            # pass 1 restack: limbs ride the lanes, polys the sublanes
+            parts = []
+            for p in range(cs):
+                sl = vlo[p * A : (p + 1) * A, :]
+                sh = vhi[p * A : (p + 1) * A, :]
+                parts.append(jnp.concatenate(_split7_list(sl, sh), axis=1))
+            x8 = jnp.concatenate(parts, axis=0)  # (cs*A, 8B)
+            return _DOT(x8, w1m_ref[:])  # (cs*A, 8B), cols (c, k0)
+
+        def stage2(g, o1):
+            digs = [
+                o1[:, c * B : (c + 1) * B].astype(_U32) for c in range(_LIMBS)
+            ]
+            v_lo = _recombine_half(digs[:4])
+            v_hi = _recombine_half(digs[4:])
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            t_t = [r[rows, :] for r in t_refs]
+            t28_t = [r[rows, :] for r in t28_refs]
+            s2lo, s2hi = _twiddle(sol, shoup, narrow, v_lo, v_hi, t_t, t28_t, qc)
+            # pass 2 restack: limbs ride the sublanes, polys the lanes
+            parts = []
+            for p in range(cs):
+                sl = s2lo[p * A : (p + 1) * A, :]
+                sh = s2hi[p * A : (p + 1) * A, :]
+                parts.append(jnp.concatenate(_split7_list(sl, sh), axis=0))
+            a2 = jnp.concatenate(parts, axis=1)  # (8A, cs*B)
+            return _DOT(w2m_ref[:], a2)  # (8A, cs*B): rows (c, k1), cols (p, k0)
+
+        def stage3(g, o2):
+            d2 = [
+                o2[c * A : (c + 1) * A, :].astype(_U32) for c in range(_LIMBS)
+            ]
+            v2l = _recombine_half(d2[:4])
+            v2h = _recombine_half(d2[4:])
+            rlo, rhi = _finish(
+                q, sol, shoup, narrow, v2l, v2h, half_bound, out_factor, qc
+            )
+            # scatter back to natural rows (poly, k1), lanes k0
+            for p in range(cs):
+                rows = slice((g * cs + p) * A, (g * cs + p + 1) * A)
+                olo_ref[rows, :] = rlo[:, p * B : (p + 1) * B]
+                ohi_ref[rows, :] = rhi[:, p * B : (p + 1) * B]
+
+        o1s = [stage1(g) for g in range(chunks)]
+        o2s = [stage2(g, o1) for g, o1 in enumerate(o1s)]
+        for g, o2 in enumerate(o2s):
+            stage3(g, o2)
+
+    return kernel
 
 
 def _pad_batch(values: U64, n: int, tile: int):
@@ -525,29 +801,72 @@ def _pad_batch(values: U64, n: int, tile: int):
     return vlo, vhi, batch_shape, b, b + pad, tile
 
 
+def _natural_call(kernel, n_tabs, S, L, w1, w2, tabs, vlo, vhi, bp, tile):
+    """pallas_call scaffolding shared by both natural-layout kernels:
+    value/output blocks are ``(tile*S, L)`` slabs of the free ``(bp*S, L)``
+    view of the natural array; all tables are grid-constant."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec(
+        (tile * S, L), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    tab_specs = [w_spec(t.shape) for t in tabs]
+    return pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[w_spec(w1.shape), w_spec(w2.shape)] + tab_specs + [val_spec] * 2,
+        out_specs=[val_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp * S, L), jnp.uint32),
+            jax.ShapeDtypeStruct((bp * S, L), jnp.uint32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(w1, w2, *tabs, vlo, vhi)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def mxu_fused_forward64(
-    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 8
+    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 16
 ) -> U64:
     """Fused-Pallas MXU forward NTT; contract of :func:`mxu_forward64`.
 
-    Layout: the caller transposes each polynomial's (k1, k0) matrix so k1
-    rides the sublanes and the poly batch rides the lanes; both int8
-    matmuls, the digit recombination, the Shoup twiddle and the final
-    Barrett reduction stay VMEM-resident."""
+    Natural-layout in/out — both int8 matmuls, the digit recombination,
+    the Shoup twiddle and the final reduction stay VMEM-resident, and no
+    XLA-side transpose materializes.  On TPU, splits whose lane block (B)
+    is not 128-aligned fall back to the einsum path (Mosaic restack)."""
     q = plan.q
     n, A, B = plan.n, plan.A, plan.B
+    if jax.default_backend() == "tpu" and (B % 128 or A % 8):
+        return mxu_forward64(plan, values, out_factor)
     vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
-
-    def to_kernel_layout(x):
-        # (b, n) -> (A, b*B): rows k1, cols (poly, k0)
-        return x.reshape(bp, A, B).transpose(1, 0, 2).reshape(A, bp * B)
-
-    olo, ohi = _fused_call(
-        q, A, B, plan.w1f, plan.w2f, plan.tiled_tabs(tile),
-        to_kernel_layout(vlo), to_kernel_layout(vhi), bp, tile, out_factor,
+    kernel = _make_fwd_kernel(q, A, B, out_factor, tile)
+    tabs = plan.tiled_tabs(tile)
+    olo, ohi = _natural_call(
+        kernel, len(tabs), A, B, plan.w1f, plan.w2f, tabs,
+        vlo.reshape(bp * A, B), vhi.reshape(bp * A, B), bp, tile,
     )
-    # output blocks are (poly, r0) rows x r1 cols = natural (b, n) order
+    olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    return U64(olo, ohi)
+
+
+def _inv_common(plan, values, out_factor, tile, mul_tabs):
+    q = plan.q
+    n, A, B = plan.n, plan.Ai, plan.Bi
+    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
+    tabs = plan.tiled_tabs_inv(tile) + tuple(mul_tabs)
+    if mul_tabs and mul_tabs[0].shape != (tile * A, B):
+        raise ValueError(
+            f"mul_tabs built for a different tile: have {mul_tabs[0].shape}, "
+            f"kernel needs {(tile * A, B)}"
+        )
+    kernel = _make_inv_kernel(q, A, B, out_factor, tile, mul=bool(mul_tabs))
+    olo, ohi = _natural_call(
+        kernel, len(tabs), A, B, plan.w1mf, plan.w2mf, tabs,
+        vlo.reshape(bp * A, B), vhi.reshape(bp * A, B), bp, tile,
+    )
     olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
     ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
     return U64(olo, ohi)
@@ -555,31 +874,29 @@ def mxu_fused_forward64(
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def mxu_fused_inverse64(
-    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 8
+    plan: MxuNttPlan64, values: U64, out_factor: int = 1, tile: int = 16
 ) -> U64:
-    """Fused-Pallas MXU inverse NTT; contract of :func:`mxu_inverse64`.
+    """Fused-Pallas MXU inverse NTT; contract of :func:`mxu_inverse64`
+    (bit-reversed input, normal-order output, ``inv_n`` folded into the
+    pass-2 matrix).  Natural-layout in/out via the mirrored kernel; uses
+    the plan's inverse split (Ai, Bi)."""
+    if jax.default_backend() == "tpu" and (plan.Bi % 128 or plan.Ai % 8):
+        return mxu_inverse64(plan, values, out_factor)
+    return _inv_common(plan, values, out_factor, tile, ())
 
-    Runs the same kernel as the forward with the (A, B) axes swapped: the
-    value grid is (B, poly*A) — rows r1, then k0 — and the ``inv_n``
-    scaling rides the pass-2 matrix."""
-    q = plan.q
-    n, A, B = plan.n, plan.A, plan.B
-    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
 
-    def to_kernel_layout(x):
-        # (b, n) -> (B, b*A): rows r1, cols (poly, r0)
-        return x.reshape(bp, A, B).transpose(2, 0, 1).reshape(B, bp * A)
-
-    olo, ohi = _fused_call(
-        q, B, A, plan.w2if, plan.w1if, plan.tiled_tabs_inv(tile),
-        to_kernel_layout(vlo), to_kernel_layout(vhi), bp, tile, out_factor,
-    )
-
-    def from_kernel_layout(x):
-        # output blocks: rows (poly, k0), cols k1 -> natural (b, k1, k0)
-        return (
-            x.reshape(bp, B, A).transpose(0, 2, 1).reshape(bp, n)[:b]
-            .reshape(*batch_shape, n)
-        )
-
-    return U64(from_kernel_layout(olo), from_kernel_layout(ohi))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def mxu_fused_inverse64_mul(
+    plan: MxuNttPlan64,
+    values: U64,
+    mul_tabs,
+    out_factor: int = 1,
+    tile: int = 16,
+) -> U64:
+    """Fused pointwise-multiply + inverse NTT: ``INTT(values * key)`` with
+    the elementwise lazy Shoup multiply running inside the kernel (the
+    NTT-domain half of a negacyclic product never touches HBM).  ``mul_tabs``
+    come from :meth:`MxuNttPlan64.inverse_mul_tabs` built with the same
+    ``tile``.  Mirrors the reference's pointwise-then-inverse sequence
+    (crates/primus_lattice/src/rlwe/coeff.rs:114-116) as one fused op."""
+    return _inv_common(plan, values, out_factor, tile, tuple(mul_tabs))

@@ -345,21 +345,35 @@ def _pallas_plan64(log_n: int, q: int):
     return PallasNttPlan64(log_n, q)
 
 
+@_functools.lru_cache(maxsize=None)
+def _mxu_plan64(log_n: int, q: int):
+    from ..ops.ntt_mxu import MxuNttPlan64
+
+    return MxuNttPlan64(log_n, q)
+
+
+def _mxu_ok(log_n: int, q: int) -> bool:
+    # fused MXU tier: 8-limb bound + lane-aligned default split
+    return q < (1 << 53) and log_n >= 10
+
+
 def dcrt_forward64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
-    """DCRT forward that routes each modulus through the fused Pallas u64
-    kernel on TPU (a single custom call per modulus — keeps enclosing scan
-    graphs small and fast to compile); XLA-staged path elsewhere."""
+    """DCRT forward that routes each modulus through the fastest fused
+    kernel on TPU — the int8 MXU four-step (ops/ntt_mxu.py) where the
+    modulus/shape allow, else the fused VPU butterfly (ops/ntt_pallas.py);
+    a single custom call per modulus keeps enclosing scan graphs small.
+    XLA-staged path elsewhere."""
     if jax.default_backend() == "tpu" and plan.moduli:
+        from ..ops.ntt_mxu import mxu_fused_forward64
         from ..ops.ntt_pallas import pallas_forward64
 
-        outs = [
-            pallas_forward64(
-                _pallas_plan64(plan.log_n, q),
-                U64(values.lo[i], values.hi[i]),
-                out_factor,
-            )
-            for i, q in enumerate(plan.moduli)
-        ]
+        outs = []
+        for i, q in enumerate(plan.moduli):
+            v = U64(values.lo[i], values.hi[i])
+            if _mxu_ok(plan.log_n, q):
+                outs.append(mxu_fused_forward64(_mxu_plan64(plan.log_n, q), v, out_factor))
+            else:
+                outs.append(pallas_forward64(_pallas_plan64(plan.log_n, q), v, out_factor))
         return U64(
             jnp.stack([o.lo for o in outs]), jnp.stack([o.hi for o in outs])
         )
@@ -368,16 +382,16 @@ def dcrt_forward64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U
 
 def dcrt_inverse64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
     if jax.default_backend() == "tpu" and plan.moduli:
+        from ..ops.ntt_mxu import mxu_fused_inverse64
         from ..ops.ntt_pallas import pallas_inverse64
 
-        outs = [
-            pallas_inverse64(
-                _pallas_plan64(plan.log_n, q),
-                U64(values.lo[i], values.hi[i]),
-                out_factor,
-            )
-            for i, q in enumerate(plan.moduli)
-        ]
+        outs = []
+        for i, q in enumerate(plan.moduli):
+            v = U64(values.lo[i], values.hi[i])
+            if _mxu_ok(plan.log_n, q):
+                outs.append(mxu_fused_inverse64(_mxu_plan64(plan.log_n, q), v, out_factor))
+            else:
+                outs.append(pallas_inverse64(_pallas_plan64(plan.log_n, q), v, out_factor))
         return U64(
             jnp.stack([o.lo for o in outs]), jnp.stack([o.hi for o in outs])
         )

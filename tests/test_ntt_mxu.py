@@ -139,6 +139,55 @@ def test_mxu_roundtrip_lazy():
     assert ((lazy % q) == vals).all()
 
 
+def test_mxu_fused_inverse_mul():
+    """Fused pointwise-multiply + inverse == golden pointwise then inverse,
+    for both a Solinas and a general prime."""
+    from primus_fhe_tpu.ops.ntt_mxu import (
+        mxu_fused_forward64,
+        mxu_fused_inverse64_mul,
+    )
+
+    for log_n, q in [(8, 1125899906826241), (8, 536813569)]:
+        n = 1 << log_n
+        g = GoldenNtt(log_n, q)
+        rng = np.random.default_rng(29)
+        vals = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+        key = rng.integers(0, q, size=(n,), dtype=np.uint64)
+        plan = MxuNttPlan64(log_n, q)
+        tile = 2
+        tabs = plan.inverse_mul_tabs(key, tile)
+        f = mxu_fused_forward64(plan, to_u64_pair(vals), 4, tile)
+        got = from_u64_pair(mxu_fused_inverse64_mul(plan, f, tabs, 1, tile))
+        for row in range(vals.shape[0]):
+            fwd = g.forward([int(x) for x in vals[row]])
+            prod = [fv * int(kv) % q for fv, kv in zip(fwd, key)]
+            expect = g.inverse(prod)
+            assert [int(x) for x in got[row]] == expect, (q, row)
+
+
+def test_mxu_fused_large_n():
+    """The headline shape (log_n >= 10, lane-aligned default split) is
+    bit-exact through the fused kernels — guards the alignment defaults."""
+    from primus_fhe_tpu.ops.ntt_mxu import (
+        mxu_fused_forward64,
+        mxu_fused_inverse64,
+    )
+
+    log_n, q = 10, 1125899906826241
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    plan = MxuNttPlan64(log_n, q)
+    assert plan.B % 128 == 0 and plan.Bi % 128 == 0
+    f = mxu_fused_forward64(plan, to_u64_pair(vals), 4, 2)
+    fwd = from_u64_pair(mxu_fused_forward64(plan, to_u64_pair(vals), 1, 2))
+    for row in range(vals.shape[0]):
+        assert [int(x) for x in fwd[row]] == g.forward([int(x) for x in vals[row]])
+    rt = from_u64_pair(mxu_fused_inverse64(plan, f, 1, 2))
+    assert (rt == vals).all()
+
+
 def test_mxu_nondefault_h1():
     """h1 override: golden equivalence away from the square split, and
     out-of-range h1 rejected (advisor finding)."""
