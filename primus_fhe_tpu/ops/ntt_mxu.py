@@ -79,7 +79,11 @@ def _limb_matrix(m, q: int, block: bool = False) -> np.ndarray:
 
 
 def _shoup_tabs(m, q: int):
-    """Per-lane Shoup tables (8 u32 arrays) for an object-int array."""
+    """Per-lane Shoup tables (8 u32 arrays) for an object-int array.
+
+    Returned as HOST numpy: plans may be constructed inside an active jit
+    trace (the DCRT fast path builds them lazily), where jnp arrays would
+    become tracers and leak; numpy constants stay inert until used."""
     flat = np.asarray(
         [int(v) for v in m.reshape(-1)], dtype=np.uint64
     ).reshape(m.shape)
@@ -91,18 +95,15 @@ def _shoup_tabs(m, q: int):
     whi = (flat >> np.uint64(32)).astype(np.uint32)
     plo = (pre & 0xFFFFFFFF).astype(np.uint32)
     phi = (pre >> np.uint64(32)).astype(np.uint32)
-    return tuple(
-        jnp.asarray(t)
-        for t in (
-            wlo,
-            whi,
-            wlo & 0xFFFF,
-            wlo >> 16,
-            plo & 0xFFFF,
-            plo >> 16,
-            phi & 0xFFFF,
-            phi >> 16,
-        )
+    return (
+        wlo,
+        whi,
+        wlo & 0xFFFF,
+        wlo >> 16,
+        plo & 0xFFFF,
+        plo >> 16,
+        phi & 0xFFFF,
+        phi >> 16,
     )
 
 
@@ -200,8 +201,8 @@ class MxuNttPlan64:
         tw = vandermonde(psi_pows, om_rev)
         tw28 = (tw * ((1 << 28) % q)) % q
 
-        self.w1 = jnp.asarray(_limb_matrix(m1, q))
-        self.w2 = jnp.asarray(_limb_matrix(m2, q))
+        self.w1 = _limb_matrix(m1, q)
+        self.w2 = _limb_matrix(m2, q)
         self.t_tabs = _shoup_tabs(tw, q)
         self.t28_tabs = _shoup_tabs(tw28, q)
         # final fold/reduce constants: x*2^28 mod q and the plain Barrett
@@ -210,8 +211,8 @@ class MxuNttPlan64:
         self.one_tabs = _shoup_tabs(np.asarray([[1]], dtype=object), q)
         # fused-kernel variants: digit planes as contiguous blocks; pass 2
         # pre-transposed so the in-kernel product is (r0, (l,k0)) @ W2.
-        self.w1f = jnp.asarray(_limb_matrix(m1, q, block=True))
-        self.w2f = jnp.asarray(_limb_matrix(m2, q, block=True).T)
+        self.w1f = _limb_matrix(m1, q, block=True)
+        self.w2f = np.ascontiguousarray(_limb_matrix(m2, q, block=True).T)
         self._tiled: dict = {}
 
         # --- inverse matrices (independent split Ai x Bi; see class
@@ -240,14 +241,14 @@ class MxuNttPlan64:
         ipsi_b = _pow_table(pow(ipsi, Bi, q), q, Ai)
         m1i = vandermonde([p * inv_n % q for p in ipsi_b], iom_a_rev).T.copy()
 
-        self.w2i = jnp.asarray(_limb_matrix(m2i, q))
-        self.w1i = jnp.asarray(_limb_matrix(m1i, q))
+        self.w2i = _limb_matrix(m2i, q)
+        self.w1i = _limb_matrix(m1i, q)
         self.ti_tabs = _shoup_tabs(twi_t, q)
         self.ti28_tabs = _shoup_tabs(twi28_t, q)
         # mirrored fused-kernel matrices: pass 1 is a RIGHT dot (contract
         # the lane axis r1), pass 2 a LEFT dot (contract the sublane r0)
-        self.w1mf = jnp.asarray(_limb_matrix(m2i, q, block=True).T)
-        self.w2mf = jnp.asarray(_limb_matrix(m1i, q, block=True))
+        self.w1mf = np.ascontiguousarray(_limb_matrix(m2i, q, block=True).T)
+        self.w2mf = _limb_matrix(m1i, q, block=True)
         self.tim_tabs = _shoup_tabs(twi, q)
         self.tim28_tabs = _shoup_tabs((twi * ((1 << 28) % q)) % q, q)
         self._tiled_inv: dict = {}
@@ -289,7 +290,7 @@ class MxuNttPlan64:
         m = np.asarray([int(v) for v in np.asarray(key).reshape(-1)], dtype=object)
         m = m.reshape(self.Ai, self.Bi)
         tabs = _shoup_tabs(m, self.q)
-        return tuple(jnp.tile(t, (tile, 1)) for t in tabs)
+        return tuple(np.tile(t, (tile, 1)) for t in tabs)
 
 
 def _split7_list(lo, hi):

@@ -183,3 +183,50 @@ def test_dcrt_blind_rotate_encrypted_keys(setup):
     for g, e in zip(got, expect):
         d = (g - e) % Q
         assert min(d, Q - d) < delta // 4, (g, e)
+
+
+def test_dcrt_blind_rotate_batched_matches_single(setup):
+    """The natively-batched rotation (batch inside the residue-major
+    layout, one fused NTT per modulus per step) must agree bit-exactly
+    with per-ciphertext rotations."""
+    from primus_fhe_tpu.boot.dcrt_blind_rotate import dcrt_blind_rotate_batched
+
+    base, basis, plan = setup
+    B = 3
+    secret = [rng.randrange(2) for _ in range(N_LWE)]
+    bsk_rows = [_trivial_ggsw(base, basis, plan, s) for s in secret]
+    bsk = U64(
+        jnp.stack([g.lo for g in bsk_rows]), jnp.stack([g.hi for g in bsk_rows])
+    )
+
+    lwes = np.array(
+        [[rng.randrange(2 * N) for _ in range(N_LWE + 1)] for _ in range(B)],
+        dtype=np.int32,
+    )
+    accs = np.array(
+        [
+            [
+                [[rng.randrange(q) for _ in range(N)] for _ in range(K1)]
+                for q in base.moduli_ints
+            ]
+            for _ in range(B)
+        ],
+        dtype=np.uint64,
+    )
+    acc0 = to_u64_pair(accs)  # (B, n_mod, k1, N), already "NTT domain" data
+
+    batched = dcrt_blind_rotate_batched(
+        plan, basis, base, bsk, jnp.asarray(lwes), acc0
+    )
+    for i in range(B):
+        single = dcrt_blind_rotate(
+            plan,
+            basis,
+            base,
+            bsk,
+            jnp.asarray(lwes[i]),
+            U64(acc0.lo[i], acc0.hi[i]),
+        )
+        got = from_u64_pair(U64(batched.lo[i], batched.hi[i]))
+        want = from_u64_pair(single)
+        assert (got == want).all(), i
