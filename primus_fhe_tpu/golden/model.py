@@ -124,11 +124,17 @@ class GoldenNtt:
     fused ``inv_n`` final stage).  All arithmetic is exact mod ``q``.
     """
 
-    def __init__(self, log_n: int, q: int):
+    def __init__(self, log_n: int, q: int, root: int | None = None):
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.q = q
-        self.root = psi = minimal_primitive_root(log_n + 1, q)
+        if root is None:
+            root = minimal_primitive_root(log_n + 1, q)
+        elif pow(root, n, q) != q - 1:
+            # explicit roots serve four-step sub-transforms, where the
+            # minimal-root convention must NOT be re-derived per factor
+            raise ValueError("root is not a primitive 2n-th root of unity")
+        self.root = psi = root
         self.inv_root = mod_inv(psi, q)
         self.inv_n = mod_inv(n, q)
 

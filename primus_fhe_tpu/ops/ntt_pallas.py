@@ -49,15 +49,16 @@ _U32 = jnp.uint32
 class PallasNttPlan64:
     """Expanded root tables for the fused u64 NTT kernel."""
 
-    def __init__(self, log_n: int, q: int):
+    def __init__(self, log_n: int, q: int, root: int | None = None):
         if log_n > 15:
             # expanded per-lane tables are (log_n, n) x 4 u32 arrays; above
-            # n = 2^15 they exceed VMEM — use the XLA-staged transforms.
+            # n = 2^15 they exceed VMEM — use the four-step composition
+            # (transforms.ntt_large) or the XLA-staged transforms.
             raise ValueError("PallasNttPlan64 supports n <= 2^15 (table VMEM)")
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.q = q
-        g = GoldenNtt(log_n, q)
+        g = GoldenNtt(log_n, q, root=root)
 
         def quot64(w):
             return ((w << 64) // q) & 0xFFFFFFFFFFFFFFFF
@@ -366,6 +367,8 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
             vhi = jnp.where(is_x, ahi, pltpu.roll(bhi, t, 1))
         if defer:
             vlo, vhi = _reduce_chain64(vlo, vhi, q, 4 + 4 * log_n, 4)
+        if out_factor == 2:
+            vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
         if out_factor == 1:
             vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
             vlo, vhi = _reduce_once64(vlo, vhi, qlo, qhi)
@@ -375,7 +378,7 @@ def _make_fwd_kernel(log_n: int, q: int, out_factor: int):
     return kernel
 
 
-def _make_inv_kernel(log_n: int, q: int, out_factor: int):
+def _make_inv_kernel(log_n: int, q: int, out_factor: int, in_factor: int = 2):
     n = 1 << log_n
     # Approximate-quotient multiply: y' lanes reset to < 4q; x' = x + y
     # doubles the bound each stage.  Reduce with a conditional-subtract
@@ -393,7 +396,7 @@ def _make_inv_kernel(log_n: int, q: int, out_factor: int):
         iota = jax.lax.broadcasted_iota(_U32, (1, n), 1)
         qlo, qhi = _const64(q)
         tqlo, tqhi = _const64(2 * q)
-        c = 2  # current uniform bound, in units of q ([0, 2q) input contract)
+        c = in_factor  # current uniform bound, in units of q (input contract)
         for s in range(log_n):
             last = s == log_n - 1
             t = (1 << s) if not last else (n >> 1)
@@ -430,7 +433,8 @@ def _make_inv_kernel(log_n: int, q: int, out_factor: int):
                 c = max(2 * c, 4)
         # approximate multiply leaves the final stage < 4q; restore the
         # [0,2q) lazy contract, then canonical if requested.
-        vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
+        if out_factor <= 2:
+            vlo, vhi = _reduce_once64(vlo, vhi, tqlo, tqhi)
         if out_factor == 1:
             vlo, vhi = _reduce_once64(vlo, vhi, qlo, qhi)
         olo_ref[:] = vlo
@@ -484,10 +488,20 @@ def pallas_forward64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, ti
     return _call(plan, values, kernel, plan.fwd_tabs, tile)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def pallas_inverse64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, tile: int = 8) -> U64:
-    """Fused inverse NTT; same contract as :func:`transforms.ntt.inverse64`."""
-    kernel = _make_inv_kernel(plan.log_n, plan.q, out_factor)
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def pallas_inverse64(
+    plan: PallasNttPlan64,
+    values: U64,
+    out_factor: int = 1,
+    tile: int = 8,
+    in_factor: int = 2,
+) -> U64:
+    """Fused inverse NTT; same contract as :func:`transforms.ntt.inverse64`.
+
+    ``in_factor``: static bound on the input's lazy range (``< in_factor*q``)
+    — the range-doubling accounting starts there, so callers feeding wider
+    representatives (e.g. a forward's [0,4q) output) must say so."""
+    kernel = _make_inv_kernel(plan.log_n, plan.q, out_factor, in_factor)
     return _call(plan, values, kernel, plan.inv_tabs, tile)
 
 

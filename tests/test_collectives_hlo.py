@@ -1,0 +1,91 @@
+"""Compiled-HLO collective structure of the sharded DCRT pipelines.
+
+The scaling design (SURVEY.md §5, mesh.py): the residue axis is
+embarrassingly parallel through NTTs and pointwise ops — a residue-sharded
+DCRT NTT must compile to ZERO collectives — while the CRT compose inside
+the gadget product is the one cross-residue contraction and must lower to
+residue-group collectives.  These assertions pin the partitioner's output
+so sharding regressions fail in CI rather than as silent slowdowns on a
+pod (the measured-efficiency complement lives in bench_scaling.py).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from primus_fhe_tpu.numeric import to_u64_pair
+from primus_fhe_tpu.parallel.mesh import make_mesh
+
+MODULI = [1125899906826241, 1125899906629633]
+
+_COLLECTIVES = re.compile(
+    r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)\b"
+)
+
+
+def _collective_ops(compiled_text: str) -> list[str]:
+    return _COLLECTIVES.findall(compiled_text)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, residue=2)
+
+
+def test_residue_sharded_ntt_has_no_collectives(mesh):
+    """Residue-sharded DCRT forward+inverse: zero-communication SPMD."""
+    from primus_fhe_tpu.transforms.dcrt import (
+        build_dcrt_plan64,
+        dcrt_forward64,
+        dcrt_inverse64,
+    )
+
+    log_n = 6
+    plan = build_dcrt_plan64(log_n, MODULI)
+    sh = NamedSharding(mesh, P("residue", "batch", None))
+    vals = to_u64_pair(
+        np.random.default_rng(0).integers(
+            0, min(MODULI), size=(2, 8, 1 << log_n), dtype=np.uint64
+        )
+    )
+
+    for fn in (dcrt_forward64, dcrt_inverse64):
+        f = jax.jit(
+            lambda v, fn=fn: fn(plan, v), in_shardings=(sh,), out_shardings=sh
+        )
+        txt = f.lower(vals).compile().as_text()
+        ops = _collective_ops(txt)
+        assert not ops, f"{fn.__name__} leaked collectives: {ops[:5]}"
+
+
+def test_rotation_step_collectives_are_residue_compose_only(mesh):
+    """The sharded blind-rotation step communicates ONLY for the CRT
+    compose: residue-group collectives present, no all-to-all, and no
+    collective touches the batch (data-parallel) axis."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import make_sharded_rotation_step
+
+    step, (lwe, acc, bsk), _ = make_sharded_rotation_step(
+        8, log_n=6, n_lwe=2, batch=16
+    )
+    txt = step.lower(lwe, acc, bsk).compile().as_text()
+    ops = _collective_ops(txt)
+    assert ops, "expected residue-axis collectives at CRT compose"
+    assert "all-to-all" not in ops, "unexpected all-to-all in rotation step"
+    # batch axis = mesh dim 1 (devices {0..3} vs {4..7} are the residue
+    # groups): every replica group must stay within one batch rank, i.e.
+    # groups pair devices d and d+4 (same batch index, both residues).
+    groups = re.findall(r"replica_groups=\{\{([0-9,]+)\}", txt)
+    for g in groups:
+        ids = sorted(int(x) for x in g.split(","))
+        assert len(ids) <= 2 and (len(ids) == 1 or ids[1] - ids[0] == 4), (
+            f"collective crosses the batch axis: group {ids}"
+        )

@@ -70,3 +70,78 @@ def test_config2_n65536_monomial_law():
             i = g.reverse_lsbs[j]
             expect = pow(g.root, (2 * i + 1) * d, q)
             assert int(got[j]) == expect, (d, j)
+
+
+# ---------------------------------------------------------------------------
+# Four-step fused tier (transforms.ntt_large): the config-2 62-bit bound
+# (reference: crates/primus_ntt/src/ntt/prime64/avx512/internal.rs:1-73)
+# ---------------------------------------------------------------------------
+
+from primus_fhe_tpu.transforms.ntt_large import (  # noqa: E402
+    LargeNttPlan64,
+    large_forward64,
+    large_inverse64,
+)
+
+# 62-bit prime with 2^17 | q-1 (supports n = 2^16)
+Q62 = 4611686018425815041
+
+
+@pytest.mark.parametrize(
+    "log_n,q",
+    [
+        (8, 1125899906826241),  # 50-bit reference bench prime
+        (9, 1152921504606830593),  # 60-bit reference prime, odd split
+        (10, Q62),
+    ],
+)
+def test_large_matches_golden(log_n, q):
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(41 + log_n)
+    vals = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    plan = LargeNttPlan64(log_n, q)
+    out = from_u64_pair(large_forward64(plan, to_u64_pair(vals), 1))
+    inv = from_u64_pair(large_inverse64(plan, to_u64_pair(vals), 1))
+    for row in range(vals.shape[0]):
+        assert [int(x) for x in out[row]] == g.forward([int(x) for x in vals[row]])
+        assert [int(x) for x in inv[row]] == g.inverse([int(x) for x in vals[row]])
+
+
+def test_large_n65536_62bit_roundtrip():
+    """The config-2 headline shape: n = 2^16, 62-bit prime, fused tier."""
+    log_n, q = 16, Q62
+    n = 1 << log_n
+    rng = np.random.default_rng(47)
+    vals = rng.integers(0, q, size=(1, n), dtype=np.uint64)
+    plan = LargeNttPlan64(log_n, q)
+    v = to_u64_pair(vals)
+    f = large_forward64(plan, v, 4)
+    assert (from_u64_pair(f) < 4 * q).all()
+    rt = from_u64_pair(large_inverse64(plan, f, 1))
+    assert (rt == vals).all()
+
+    # differential vs the XLA-staged oracle (forward64 is golden-validated)
+    from primus_fhe_tpu.transforms import build_plan64, forward64
+
+    jplan = build_plan64(log_n, q)
+    want = from_u64_pair(forward64(jplan, v, out_factor=1))
+    got = from_u64_pair(large_forward64(plan, v, 1))
+    assert (got == want).all()
+
+
+def test_large_lazy_ranges():
+    log_n, q = 8, 1125899906826241
+    n = 1 << log_n
+    rng = np.random.default_rng(53)
+    vals = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    plan = LargeNttPlan64(log_n, q)
+    v = to_u64_pair(vals)
+    canon = from_u64_pair(large_forward64(plan, v, 1))
+    for f in (2, 4):
+        lazy = from_u64_pair(large_forward64(plan, v, f))
+        assert (lazy < f * q).all()
+        assert ((lazy % q) == canon).all()
+    # lazy input accepted
+    shifted = to_u64_pair(vals + np.uint64(3 * q))
+    assert (from_u64_pair(large_forward64(plan, shifted, 1)) == canon).all()
