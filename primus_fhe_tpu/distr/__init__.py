@@ -10,6 +10,11 @@ from .sampling import (
     sample_crt_ternary,
     sample_crt_gaussian,
 )
+from .ziggurat import (
+    DiscreteZiggurat,
+    HighPrecisionCDT,
+    make_discrete_gaussian,
+)
 
 __all__ = [
     "sample_binary",
@@ -17,6 +22,9 @@ __all__ = [
     "sample_uniform",
     "sample_uniform_u64",
     "DiscreteGaussian",
+    "DiscreteZiggurat",
+    "HighPrecisionCDT",
+    "make_discrete_gaussian",
     "sample_crt_binary",
     "sample_crt_ternary",
     "sample_crt_gaussian",
