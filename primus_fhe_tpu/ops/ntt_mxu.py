@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..golden.model import GoldenNtt
+from ..utils.contracts import check_range_u64
 from ..numeric.limb import U64
 from ..utils.bits import reverse_lsbs
 from .ntt_pallas import (
@@ -837,6 +838,7 @@ def mxu_fused_forward64(
     the Shoup twiddle and the final reduction stay VMEM-resident, and no
     XLA-side transpose materializes.  On TPU, splits whose lane block (B)
     is not 128-aligned fall back to the einsum path (Mosaic restack)."""
+    check_range_u64(values, 1 << 56, 1, "mxu_fused_forward64 input")
     q = plan.q
     n, A, B = plan.n, plan.A, plan.B
     if jax.default_backend() == "tpu" and (B % 128 or A % 8):
@@ -854,6 +856,7 @@ def mxu_fused_forward64(
 
 
 def _inv_common(plan, values, out_factor, tile, mul_tabs):
+    check_range_u64(values, 1 << 56, 1, "mxu inverse input")
     q = plan.q
     n, A, B = plan.n, plan.Ai, plan.Bi
     vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)

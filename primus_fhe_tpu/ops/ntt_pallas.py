@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..golden.model import GoldenNtt
+from ..utils.contracts import check_range_u32, check_range_u64
 from ..numeric.limb import U64, to_u64_pair
 
 _U32 = jnp.uint32
@@ -484,6 +485,7 @@ def _call(plan: PallasNttPlan64, values: U64, kernel, tables, tile: int):
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def pallas_forward64(plan: PallasNttPlan64, values: U64, out_factor: int = 1, tile: int = 8) -> U64:
     """Fused forward NTT; same contract as :func:`transforms.ntt.forward64`."""
+    check_range_u64(values, plan.q, 4, "pallas_forward64 input")
     kernel = _make_fwd_kernel(plan.log_n, plan.q, out_factor)
     return _call(plan, values, kernel, plan.fwd_tabs, tile)
 
@@ -501,6 +503,7 @@ def pallas_inverse64(
     ``in_factor``: static bound on the input's lazy range (``< in_factor*q``)
     — the range-doubling accounting starts there, so callers feeding wider
     representatives (e.g. a forward's [0,4q) output) must say so."""
+    check_range_u64(values, plan.q, in_factor, "pallas_inverse64 input")
     kernel = _make_inv_kernel(plan.log_n, plan.q, out_factor, in_factor)
     return _call(plan, values, kernel, plan.inv_tabs, tile)
 
@@ -665,10 +668,12 @@ def _call32(plan, values, make_kernel, tables, out_factor, tile):
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def pallas_forward32(plan: PallasNttPlan32, values, out_factor: int = 1, tile: int = 16):
     """Fused forward NTT (u32); contract of :func:`transforms.ntt.forward32`."""
+    check_range_u32(values, plan.q, 4, "pallas_forward32 input")
     return _call32(plan, values, _make_fwd_kernel32, (plan.fwd_w, plan.fwd_p), out_factor, tile)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def pallas_inverse32(plan: PallasNttPlan32, values, out_factor: int = 1, tile: int = 16):
     """Fused inverse NTT (u32); contract of :func:`transforms.ntt.inverse32`."""
+    check_range_u32(values, plan.q, 2, "pallas_inverse32 input")
     return _call32(plan, values, _make_inv_kernel32, (plan.inv_w, plan.inv_p), out_factor, tile)

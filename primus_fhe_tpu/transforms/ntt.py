@@ -38,6 +38,7 @@ from ..numeric.limb import (
     u64_sub,
 )
 from .plan import NttPlan32, NttPlan64
+from ..utils.contracts import check_range_u32, check_range_u64
 
 _U32 = jnp.uint32
 
@@ -59,6 +60,7 @@ def forward32(plan: NttPlan32, values, out_factor: int = 1):
     assert out_factor in (1, 4)
     n = plan.n
     q = plan.q
+    check_range_u32(values, q, 4, "forward32 input")
     two_q = q + q
     v = values
     batch = v.shape[:-1]
@@ -85,6 +87,7 @@ def inverse32(plan: NttPlan32, values, out_factor: int = 1):
     assert out_factor in (1, 2)
     n = plan.n
     q = plan.q
+    check_range_u32(values, q, 2, "inverse32 input")
     two_q = q + q
     v = values
     batch = v.shape[:-1]
@@ -164,6 +167,7 @@ def _shoup_lazy64(y: U64, w: U64, w_precon: U64, q: U64) -> U64:
 def forward64(plan: NttPlan64, values: U64, out_factor: int = 1) -> U64:
     """Forward NTT over U64 pairs; input normal order, output bit-reversed."""
     assert out_factor in (1, 4)
+    check_range_u64(values, plan.q, 4, "forward64 input")
     n = plan.n
     q = plan.q
     two_q = u64_add(q, q)
@@ -201,6 +205,7 @@ def forward64(plan: NttPlan64, values: U64, out_factor: int = 1) -> U64:
 def inverse64(plan: NttPlan64, values: U64, out_factor: int = 1) -> U64:
     """Inverse NTT over U64 pairs; bit-reversed [0,2q) input, normal output."""
     assert out_factor in (1, 2)
+    check_range_u64(values, plan.q, 2, "inverse64 input")
     n = plan.n
     q = plan.q
     two_q = u64_add(q, q)
