@@ -18,7 +18,7 @@ from .modulus import (
     barrett64,
 )
 from .factor import ShoupFactor32, ShoupFactor64, shoup32, shoup64
-from . import modops
+from . import compact, modops
 
 __all__ = [
     "BarrettModulus32",
