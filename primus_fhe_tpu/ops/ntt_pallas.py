@@ -508,6 +508,185 @@ def pallas_inverse64(
     return _call(plan, values, kernel, plan.inv_tabs, tile)
 
 
+# ---------------------------------------------------------------------------
+# Partial-transform entry points (coeff-sharded local stages)
+#
+# A coefficient-sharded forward NTT (parallel/coeff_sharded.py) runs its
+# first ``log2 D`` stages as ppermute exchanges; the remaining stages pair
+# elements within one shard and are *exactly* a full width-``shard``
+# forward transform over that shard's slice of the expanded per-lane
+# tables (stage ``log2 D + s`` has ``t = shard >> (s+1)``, and for
+# ``t < shard`` the pair mask/roll depend only on the local position).
+# The inverse is mirrored: stages ``t = 1 .. shard/2`` are shard-local and
+# run FIRST, all as regular butterflies (the fused ``inv_n`` final stage
+# is a cross-shard exchange), so it needs the stages-only kernels below.
+# ---------------------------------------------------------------------------
+
+
+def _make_inv_stages_kernel32(log_w: int, q: int):
+    """``log_w`` regular inverse stages (t = 1..2^(log_w-1)) over width
+    ``2^log_w`` blocks; input/output lazy ``[0, 2q)``."""
+    w_width = 1 << log_w
+    qc = np.uint32(q)
+    tqc = np.uint32(2 * q)
+
+    def kernel(w_ref, p_ref, v_ref, o_ref):
+        v = v_ref[:]
+        iota = jax.lax.broadcasted_iota(_U32, (1, w_width), 1)
+        for s in range(log_w):
+            t = 1 << s
+            is_x = (iota & t) == 0
+            w = w_ref[s, :][None]
+            wp = p_ref[s, :][None]
+            r_m = pltpu.roll(v, w_width - t, 1)
+            r_p = pltpu.roll(v, t, 1)
+            x = jnp.where(is_x, v, r_p)
+            y = jnp.where(is_x, r_m, v)
+            sxy = x + y
+            tx = jnp.where(sxy >= tqc, sxy - tqc, sxy)
+            d = x + tqc - y
+            mm = w * d - qc * _mulhi_u32(d, wp)
+            v = jnp.where(is_x, tx, mm)
+        o_ref[:] = v
+
+    return kernel
+
+
+def _make_inv_stages_kernel64(log_w: int, q: int, in_factor: int):
+    """u64 variant of :func:`_make_inv_stages_kernel32`; output ``[0,2q)``."""
+    w_width = 1 << log_w
+    _shoup = _make_shoup_lazy64(q, exact=False)
+    limit = 1 << 64
+
+    def kernel(
+        wlo_ref, whi_ref, w0_ref, w1_ref, p0_ref, p1_ref, p2_ref, p3_ref,
+        vlo_ref, vhi_ref, olo_ref, ohi_ref,
+    ):
+        vlo = vlo_ref[:]
+        vhi = vhi_ref[:]
+        iota = jax.lax.broadcasted_iota(_U32, (1, w_width), 1)
+        qlo, qhi = _const64(q)
+        c = in_factor
+        for s in range(log_w):
+            t = 1 << s
+            is_x = (iota & t) == 0
+            tabs = tuple(
+                r[s, :][None]
+                for r in (w0_ref, w1_ref, p0_ref, p1_ref, p2_ref, p3_ref)
+            )
+            wlo = wlo_ref[s, :][None]
+            whi = whi_ref[s, :][None]
+            if 2 * c * q >= limit:
+                vlo, vhi = _reduce_chain64(vlo, vhi, q, c, 2)
+                c = 2
+            ylo = pltpu.roll(vlo, w_width - t, 1)
+            yhi = pltpu.roll(vhi, w_width - t, 1)
+            slo, shi = _add64(vlo, vhi, ylo, yhi)
+            cqlo, cqhi = _const64(c * q)
+            d1lo, d1hi = _add64(vlo, vhi, cqlo, cqhi)
+            dlo, dhi = _sub64(d1lo, d1hi, ylo, yhi)
+            mlo, mhi = _shoup(dlo, dhi, wlo, whi, *tabs, qlo, qhi)
+            vlo = jnp.where(is_x, slo, pltpu.roll(mlo, t, 1))
+            vhi = jnp.where(is_x, shi, pltpu.roll(mhi, t, 1))
+            c = max(2 * c, 4)
+        vlo, vhi = _reduce_chain64(vlo, vhi, q, c, 2)
+        olo_ref[:] = vlo
+        ohi_ref[:] = vhi
+
+    return kernel
+
+
+def _stage_call32(kernel, log_w: int, w_loc, p_loc, v2, tile: int):
+    w_width = 1 << log_w
+    b = v2.shape[0]
+    tile = min(tile, b)
+    pad = (-b) % tile
+    if pad:
+        v2 = jnp.concatenate([v2, jnp.zeros((pad, w_width), jnp.uint32)])
+    grid = ((b + pad) // tile,)
+    table_spec = pl.BlockSpec((log_w, w_width), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec((tile, w_width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[table_spec] * 2 + [val_spec],
+        out_specs=val_spec,
+        out_shape=jax.ShapeDtypeStruct((b + pad, w_width), jnp.uint32),
+        interpret=jax.default_backend() != "tpu",
+    )(w_loc, p_loc, v2)
+    return out[:b]
+
+
+def pallas_stages_forward32(log_w, q, w_loc, p_loc, v2, out_factor=1, tile=16):
+    """Final ``log_w`` forward stages over width-``2^log_w`` blocks with
+    caller-supplied per-lane table slices ``(log_w, 2^log_w)``.  ``v2``:
+    ``(batch, 2^log_w)`` u32 in ``[0, 4q)``."""
+    return _stage_call32(
+        _make_fwd_kernel32(log_w, q, out_factor), log_w, w_loc, p_loc, v2, tile
+    )
+
+
+def pallas_stages_inverse32(log_w, q, w_loc, p_loc, v2, tile=16):
+    """First ``log_w`` inverse stages (all regular butterflies); output
+    lazy ``[0, 2q)`` for the cross-shard exchange stages to consume."""
+    return _stage_call32(
+        _make_inv_stages_kernel32(log_w, q), log_w, w_loc, p_loc, v2, tile
+    )
+
+
+def _split_tabs64(w_loc: U64, p_loc: U64):
+    return (
+        w_loc.lo,
+        w_loc.hi,
+        w_loc.lo & 0xFFFF,
+        w_loc.lo >> 16,
+        p_loc.lo & 0xFFFF,
+        p_loc.lo >> 16,
+        p_loc.hi & 0xFFFF,
+        p_loc.hi >> 16,
+    )
+
+
+def _stage_call64(kernel, log_w: int, tabs, vlo2, vhi2, tile: int):
+    w_width = 1 << log_w
+    b = vlo2.shape[0]
+    tile = min(tile, b)
+    pad = (-b) % tile
+    if pad:
+        vlo2 = jnp.concatenate([vlo2, jnp.zeros((pad, w_width), jnp.uint32)])
+        vhi2 = jnp.concatenate([vhi2, jnp.zeros((pad, w_width), jnp.uint32)])
+    grid = ((b + pad) // tile,)
+    table_spec = pl.BlockSpec((log_w, w_width), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec((tile, w_width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[table_spec] * len(tabs) + [val_spec] * 2,
+        out_specs=[val_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((b + pad, w_width), jnp.uint32),
+            jax.ShapeDtypeStruct((b + pad, w_width), jnp.uint32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(*tabs, vlo2, vhi2)
+    return out[0][:b], out[1][:b]
+
+
+def pallas_stages_forward64(log_w, q, w_loc: U64, p_loc: U64, vlo2, vhi2,
+                            out_factor=1, tile=8):
+    """u64 final-``log_w``-stage forward kernel; tables as U64 pairs
+    ``(log_w, 2^log_w)``; values ``(batch, 2^log_w)`` lo/hi in ``[0,4q)``."""
+    kernel = _make_fwd_kernel(log_w, q, out_factor)
+    return _stage_call64(kernel, log_w, _split_tabs64(w_loc, p_loc), vlo2, vhi2, tile)
+
+
+def pallas_stages_inverse64(log_w, q, w_loc: U64, p_loc: U64, vlo2, vhi2,
+                            in_factor=2, tile=8):
+    """u64 first-``log_w``-stage inverse kernel; output lazy ``[0, 2q)``."""
+    kernel = _make_inv_stages_kernel64(log_w, q, in_factor)
+    return _stage_call64(kernel, log_w, _split_tabs64(w_loc, p_loc), vlo2, vhi2, tile)
+
+
 # ===========================================================================
 # uint32 path (q < 2^30) — the torus-convolver / 30-bit-prime kernel
 # ===========================================================================
