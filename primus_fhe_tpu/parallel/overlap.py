@@ -1,0 +1,219 @@
+"""Collective/compute-overlapped sharded DCRT gadget product.
+
+SURVEY.md §7 hard part 4: the CRT compose is the ONE cross-residue
+contraction in an otherwise embarrassingly parallel residue sharding
+(``crates/primus_rns/src/converter.rs:111-199`` is the reference's
+analogous hot spot).  The auto-SPMD path (``parallel.sharded``) lets the
+partitioner handle it, which lowers to an all-gather of the residues plus
+a fully *replicated* compose on every device.  This module is the
+explicit ``shard_map`` version, designed so the collective both shrinks
+and overlaps with compute:
+
+1. **Compose as a psum of partial composes.**  Each device folds only its
+   own residues into the big-int accumulator (canonical ``< Q``), then the
+   cross-device sum runs as one ``psum`` of 16-bit limb halves (u32 lanes
+   cannot overflow for any realistic device count), followed by a local
+   carry walk and ``log2(D)`` conditional subtracts of ``2^j * Q``.  The
+   composed value is bit-identical to the sequential single-device
+   compose (both are the unique canonical representative mod Q).
+   Compose *compute* now scales with the mesh instead of replicating.
+
+2. **One psum per GLWE component, all issued before any level compute.**
+   The k+1 input components are independent until the final accumulation,
+   so their compose collectives are data-independent of each other's
+   decompose->NTT->MAC level loops.  Emitting every psum up front gives
+   XLA's latency-hiding scheduler the full window: on TPU the async
+   all-reduce for component r+1 rides ICI while component r's per-residue
+   NTTs occupy the VPU.  (A single batched psum would minimize launches
+   but leave nothing to overlap; k+1 small psums maximize the pipeline.)
+
+The per-level work (digit extract, centered respread, NTT, MAC) touches
+only device-local residues — zero communication, asserted by
+``tests/test_collectives_hlo.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..modular.factor import ShoupFactor64, factor_mul64
+from ..modular.modops import add64, mul64
+from ..numeric.bigint import big_cond_sub, big_from_int, big_mul_u32_add
+from ..numeric.limb import U64, u64_add, u64_lt, u64_select, u64_sub
+from ..transforms.dcrt import DcrtPlan64, dcrt_forward64
+
+_U32 = jnp.uint32
+
+
+def _psum_bigint(partial, axis: str, n_limbs: int, q_multiples):
+    """Exact cross-device big-int sum mod Q.
+
+    ``partial``: ``(..., n_limbs)`` u32 limbs, canonical ``< Q`` on each
+    device.  Split every limb into 16-bit halves (sums of ``D`` halves
+    stay far below 2^32), ``psum``, carry-walk back into u32 limbs, then
+    conditionally subtract the precomputed ``2^j * Q`` ladder.
+    """
+    halves = jnp.stack([partial & 0xFFFF, partial >> 16], axis=-1).reshape(
+        *partial.shape[:-1], 2 * n_limbs
+    )
+    halves = jax.lax.psum(halves, axis)
+    carry = jnp.zeros(halves.shape[:-1], _U32)
+    packed = []
+    for j in range(2 * n_limbs):
+        s = halves[..., j] + carry
+        packed.append(s & 0xFFFF)
+        carry = s >> 16
+    limbs = [packed[2 * j] | (packed[2 * j + 1] << 16) for j in range(n_limbs)]
+    value = jnp.stack(limbs, axis=-1)
+    for mult in q_multiples:
+        value = big_cond_sub(value, mult)
+    return value
+
+
+def make_sharded_gadget_product(
+    mesh: Mesh,
+    axis: str,
+    basis,  # BigUintApproxSignedBasis
+    plan: DcrtPlan64,
+    rns_base,  # RNSBase64
+):
+    """Builds the overlapped sharded external product.
+
+    Returns ``fn(crt_glwe, ggsw) -> DcrtGlwe`` (all :class:`U64`):
+    ``crt_glwe`` ``(n_mod, k+1, N)`` coeff-domain residues sharded over
+    ``axis`` on dim 0; ``ggsw`` ``(k+1, level, n_mod, k+1, N)`` NTT domain
+    sharded over ``axis`` on dim 2; output ``(n_mod, k+1, N)`` NTT domain,
+    residue-sharded.  Bit-identical to
+    :func:`lattice.dcrt.crt_glwe_mul_dcrt_ggsw` (dcrt.rs:178-343 parity).
+    Hold onto the returned fn — it owns the compiled SPMD program.
+    """
+    d = mesh.shape[axis]
+    n_mod = rns_base.count
+    assert n_mod % d == 0, "residue count must divide the mesh axis"
+    m_loc = n_mod // d
+    L = rns_base.big_len
+    level = basis.decompose_length
+    small_mod = int(basis.basis)
+    q_prod = rns_base.q_product
+    # conditional-subtract ladder taking < D*Q down to < Q
+    log_d = max(0, d.bit_length() - 1)
+    q_multiples = [
+        jnp.asarray(big_from_int((1 << j) * q_prod, L + 1))
+        for j in range(log_d - 1, -1, -1)
+    ] or [jnp.asarray(big_from_int(q_prod, L + 1))]
+    q_ext = jnp.asarray(big_from_int(q_prod, L + 1))
+
+    half = (small_mod + 1) // 2
+    half_u = U64(_U32(half & 0xFFFFFFFF), _U32((half >> 32) & 0xFFFFFFFF))
+    sm_u = U64(_U32(small_mod & 0xFFFFFFFF), _U32((small_mod >> 32) & 0xFFFFFFFF))
+
+    # flatten the plan so every leading-(n_mod) leaf shards; monomial_base
+    # (shape (n,)) replicates.
+    plan_leaves, plan_def = jax.tree.flatten(plan)
+    mono_ids = {id(plan.monomial_base)}
+    plan_specs = tuple(
+        P(None) if id(leaf) in mono_ids else P(axis, *([None] * (leaf.ndim - 1)))
+        for leaf in plan_leaves
+    )
+
+    def local_fn(glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift, *leaves):
+        # glo/ghi: (m_loc, k+1, N); klo/khi: (k+1, level, m_loc, k+1, N)
+        # mod: local Barrett record; ipf: local ShoupFactor64 record
+        # p_limbs/p_shift: (m_loc, L+1) punctured-product limbs
+        local_plan = jax.tree.unflatten(plan_def, leaves)
+        k1 = glo.shape[-2]
+        n = glo.shape[-1]
+
+        def compose_partial(r):
+            value = jnp.zeros((n, L + 1), _U32)
+            for i in range(m_loc):
+                f = ShoupFactor64(
+                    U64(ipf.value.lo[i], ipf.value.hi[i]),
+                    U64(ipf.quotient.lo[i], ipf.quotient.hi[i]),
+                )
+                qi = U64(mod.value.lo[i], mod.value.hi[i])
+                prod = factor_mul64(U64(glo[i, r], ghi[i, r]), f, qi)
+                value, _ = big_mul_u32_add(p_limbs[i], prod.lo, value)
+                value, _ = big_mul_u32_add(p_shift[i], prod.hi, value)
+                value = big_cond_sub(value, q_ext)
+            return value
+
+        # 1. local partial composes + ALL compose psums issued up front:
+        #    each collective depends only on inputs, so on TPU the r+1
+        #    all-reduce overlaps the r-th component's NTT/MAC compute.
+        bigs = [
+            _psum_bigint(compose_partial(r), axis, L + 1, q_multiples)[..., :L]
+            for r in range(k1)
+        ]
+
+        q_loc = U64(
+            mod.value.lo.reshape(m_loc, 1), mod.value.hi.reshape(m_loc, 1)
+        )
+        m_bc = jax.tree.map(lambda x: x.reshape(m_loc, 1, 1), mod)
+
+        def respread(digit):  # (n,) u32 -> U64 (m_loc, n), centered lift
+            db = U64(
+                jnp.broadcast_to(digit[None], (m_loc, n)),
+                jnp.zeros((m_loc, n), _U32),
+            )
+            if small_mod == 2:
+                return db
+            lifted = u64_add(u64_sub(q_loc, sm_u), db)
+            return u64_select(u64_lt(db, half_u), db, lifted)
+
+        # 2. per-component level loops: all residue-local, no collectives.
+        acc = U64(jnp.zeros_like(glo), jnp.zeros_like(ghi))
+        for r in range(k1):
+            v, carries = basis.init_value_carry(bigs[r])
+            for lvl in range(level):
+                digit, carries = basis.unsigned_decompose_level(v, carries, lvl)
+                f = dcrt_forward64(local_plan, respread(digit), 1)
+                fb = U64(f.lo[:, None, :], f.hi[:, None, :])
+                g = U64(klo[r, lvl], khi[r, lvl])
+                acc = add64(acc, mul64(g, fb, m_bc), m_bc.value)
+        return acc.lo, acc.hi
+
+    sp_g = P(axis, None, None)
+    sp_k = P(None, None, axis, None, None)
+    sp_1 = P(axis)
+    sp_2 = P(axis, None)
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(
+                sp_g, sp_g, sp_k, sp_k,
+                jax.tree.map(lambda _: sp_1, rns_base.modulus),
+                jax.tree.map(lambda _: sp_1, rns_base.inv_punctured),
+                sp_2, sp_2,
+            ) + plan_specs,
+            out_specs=(sp_g, sp_g),
+            check_vma=False,
+        )
+    )
+
+    def run(crt_glwe: U64, ggsw: U64) -> U64:
+        lo, hi = fn(
+            crt_glwe.lo, crt_glwe.hi, ggsw.lo, ggsw.hi,
+            rns_base.modulus, rns_base.inv_punctured,
+            rns_base.punctured_limbs, rns_base.punctured_limbs_shift,
+            *plan_leaves,
+        )
+        return U64(lo, hi)
+
+    run.compiled = fn  # expose for HLO inspection in tests
+    return run
+
+
+def shard_gadget_inputs(mesh: Mesh, axis: str, crt_glwe: U64, ggsw: U64):
+    """Places the gadget-product operands onto the mesh (residue axis on
+    dim 0 of the GLWE, dim 2 of the GGSW)."""
+    sh_g = NamedSharding(mesh, P(axis, None, None))
+    sh_k = NamedSharding(mesh, P(None, None, axis, None, None))
+    return (
+        jax.tree.map(lambda x: jax.device_put(x, sh_g), crt_glwe),
+        jax.tree.map(lambda x: jax.device_put(x, sh_k), ggsw),
+    )
