@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Mixed-tile round trips: fwd tile != inv tile."""
+import sys, time
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+
+from primus_fhe_tpu.numeric import to_u64_pair
+from primus_fhe_tpu.ops.ntt_mxu import (
+    MxuNttPlan64, mxu_fused_forward64, mxu_fused_inverse64_mul,
+)
+
+log_n, q = 12, 1125899906826241
+n = 1 << log_n
+rng = np.random.default_rng(7)
+key = rng.integers(0, q, size=(n,), dtype=np.uint64)
+mplan = MxuNttPlan64(log_n, q)
+
+
+def timeit(step, data, r1=64, r2=512):
+    @jax.jit
+    def chained(v, reps):
+        v = jax.lax.fori_loop(0, reps, lambda _, v: step(v), v)
+        return jnp.sum(v.lo ^ v.hi, dtype=jnp.uint32)
+
+    _ = float(chained(data, r1)); _ = float(chained(data, r2))
+    best = None
+    for _i in range(3):
+        t0 = time.perf_counter(); _ = float(chained(data, r1))
+        t1 = time.perf_counter(); _ = float(chained(data, r2))
+        t2 = time.perf_counter()
+        dt = max((t2 - t1) - (t1 - t0), 1e-9)
+        best = dt if best is None else min(best, dt)
+    return (r2 - r1) * data.lo.shape[0] / best
+
+
+for batch in (128, 256):
+    data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
+    for ft, it in ((16, 8), (16, 16), (32, 8), (16, 4), (8, 8)):
+        mtabs = mplan.inverse_mul_tabs(key, it)
+        rt = lambda v: mxu_fused_inverse64_mul(
+            mplan, mxu_fused_forward64(mplan, v, 4, ft), mtabs, 1, it)
+        r = timeit(rt, data)
+        print(f"batch={batch} ft={ft} it={it}: rt={r/1e6:.3f}M/s "
+              f"({(r*(n*log_n+n))/1e9:.1f}e9 modmul/s)", flush=True)
