@@ -9,9 +9,20 @@ import time
 
 sys.path.insert(0, ".")
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", jax.default_backend() if jax.default_backend() == "tpu" else "cpu")
+# Decide the platform BEFORE anything initializes a backend (a switch after
+# init is a silent no-op — CLAUDE.md).  Default: CPU with a 2-device mesh so
+# the sharded steps run; set PRIMUS_TOUR_TPU=1 to tour on the accelerator
+# (the multi-device steps then need >= 2 real chips or they skip).
+if os.environ.get("PRIMUS_TOUR_TPU") != "1":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 2)
+    except RuntimeError:  # backend already initialized (e.g. under pytest)
+        pass
 
 import jax.numpy as jnp
 import numpy as np
@@ -117,6 +128,59 @@ def main():
             jax.jit(lambda gg: tfhe.external_product(ctx.conv, ctx.basis, gg, key_ntt))(gs)
         )
         assert (single == sharded).all()
+    else:
+        print("   (single device: skipped)")
+
+    step("8. coefficient-sharded NTT round trip (ppermute exchanges)")
+    if n_dev >= 2:
+        from primus_fhe_tpu.parallel import (
+            coeff_sharded_forward32,
+            coeff_sharded_inverse32,
+            make_mesh,
+        )
+        from primus_fhe_tpu.transforms import build_plan32, forward32
+
+        q32, log_nc = 536813569, 8
+        mesh = make_mesh(2, residue=2)
+        vals = jnp.asarray(
+            rng.integers(0, q32, (2, 1 << log_nc), dtype=np.uint64).astype(np.uint32)
+        )
+        sh = NamedSharding(mesh, Spec(None, "residue"))
+        sv = jax.device_put(vals, sh)
+        f = coeff_sharded_forward32(mesh, "residue", log_nc, q32, sv)
+        assert (
+            np.asarray(f) == np.asarray(forward32(build_plan32(log_nc, q32), vals))
+        ).all()
+        rt = coeff_sharded_inverse32(mesh, "residue", log_nc, q32, f)
+        assert (np.asarray(rt) == np.asarray(vals)).all()
+    else:
+        print("   (single device: skipped)")
+
+    step("9. overlapped sharded DCRT gadget product (compose as psum)")
+    if n_dev >= 2:
+        from primus_fhe_tpu.decompose import BigUintApproxSignedBasis
+        from primus_fhe_tpu.lattice.dcrt import crt_glwe_mul_dcrt_ggsw
+        from primus_fhe_tpu.numeric import from_u64_pair, to_u64_pair
+        from primus_fhe_tpu.parallel.overlap import (
+            make_sharded_gadget_product,
+            shard_gadget_inputs,
+        )
+        from primus_fhe_tpu.rns import RNSBase64
+        from primus_fhe_tpu.transforms.dcrt import build_dcrt_plan64
+
+        moduli = [1125899906826241, 1125899906629633]
+        base = RNSBase64(moduli)
+        b64 = BigUintApproxSignedBasis(base, 25)
+        plan64 = build_dcrt_plan64(5, moduli)
+        glwe64 = to_u64_pair(rng.integers(0, min(moduli), (2, 2, 32), dtype=np.uint64))
+        ggsw64 = to_u64_pair(
+            rng.integers(0, min(moduli), (2, b64.decompose_length, 2, 2, 32), dtype=np.uint64)
+        )
+        mesh = make_mesh(2, residue=2)
+        fn = make_sharded_gadget_product(mesh, "residue", b64, plan64, base)
+        sg, sk = shard_gadget_inputs(mesh, "residue", glwe64, ggsw64)
+        ref = crt_glwe_mul_dcrt_ggsw(glwe64, ggsw64, b64, plan64, base)
+        assert (from_u64_pair(fn(sg, sk)) == from_u64_pair(ref)).all()
     else:
         print("   (single device: skipped)")
 
