@@ -5,6 +5,8 @@ program semantics on CPU, so bit-equality with the jnp reference here plus
 the on-TPU equality check in bench runs covers both worlds.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -145,3 +147,83 @@ def test_pallas32_matches_jnp(q, log_n):
     got_i = np.asarray(pallas_inverse32(pp, fwd, 1, 2))
     ref_i = np.asarray(inverse32(jp, fwd))
     assert (got_i == ref_i).all()
+
+
+class TestStageKernels:
+    """Partial-transform entry points (coeff-sharded local stages): the
+    final log_w forward stages / first log_w inverse stages over sliced
+    per-lane tables equal the corresponding stages of a full transform."""
+
+    def test_stages_forward32_equals_full_kernel_tail(self):
+        from primus_fhe_tpu.ops.ntt_pallas import (
+            PallasNttPlan32,
+            pallas_forward32,
+            pallas_stages_forward32,
+        )
+
+        q, log_n = 536813569, 8
+        n = 1 << log_n
+        plan = PallasNttPlan32(log_n, q)
+        rng = np.random.default_rng(5)
+        vals = jnp.asarray(rng.integers(0, q, (4, n), dtype=np.uint64).astype(np.uint32))
+        # log_w = log_n: the "partial" kernel covering all stages IS the
+        # full forward (same tables, same out_factor semantics).
+        out = pallas_stages_forward32(log_n, q, plan.fwd_w, plan.fwd_p, vals, 1)
+        ref = pallas_forward32(plan, vals, 1)
+        assert (np.asarray(out) == np.asarray(ref)).all()
+
+    def test_stages_inverse32_then_jnp_tail_roundtrips(self):
+        from primus_fhe_tpu.ops.ntt_pallas import (
+            PallasNttPlan32,
+            pallas_forward32,
+            pallas_stages_inverse32,
+        )
+        from primus_fhe_tpu.numeric.limb import mulhi_u32
+
+        q, log_n = 536813569, 8
+        n = 1 << log_n
+        log_w = log_n - 2  # emulate a 4-shard split on one device
+        w = 1 << log_w
+        plan = PallasNttPlan32(log_n, q)
+        rng = np.random.default_rng(6)
+        vals = jnp.asarray(rng.integers(0, q, (2, n), dtype=np.uint64).astype(np.uint32))
+        f = pallas_forward32(plan, vals, 1)  # bit-reversed, [0, q)
+
+        from primus_fhe_tpu.parallel.coeff_sharded import (
+            build_expanded_inverse_tables32,
+        )
+
+        inv_w_t, inv_p_t = build_expanded_inverse_tables32(log_n, q)
+        # local stages per shard: reshape (b, 4, w) -> (4b, w), sliced tables
+        shards = jnp.reshape(f, (-1, w))
+        tab_w = inv_w_t[:log_w].reshape(log_w, 4, w)
+        tab_p = inv_p_t[:log_w].reshape(log_w, 4, w)
+        outs = []
+        for s in range(4):
+            part = pallas_stages_inverse32(
+                log_w, q, tab_w[:, s], tab_p[:, s], shards[s::4], 16
+            )
+            outs.append(part)
+        v = jnp.stack(outs, axis=1).reshape(-1, n)  # interleave shards back
+        # exchange stages in jnp (the coeff_sharded formulation, unsharded)
+        qc = np.uint32(q)
+        tqc = np.uint32(2 * q)
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)
+        for s in range(log_w, log_n):
+            t = 1 << s
+            last = s == log_n - 1
+            is_x = (iota & t) == 0
+            ww = inv_w_t[s][None]
+            wp = inv_p_t[s][None]
+            r_m = jnp.roll(v, -t, -1)
+            r_p = jnp.roll(v, t, -1)
+            x = jnp.where(is_x, v, r_p)
+            y = jnp.where(is_x, r_m, v)
+            sxy = x + y
+            tx = jnp.where(sxy >= tqc, sxy - tqc, sxy)
+            dd = x + tqc - y
+            mm_in = jnp.where(is_x, tx, dd) if last else dd
+            mm = ww * mm_in - qc * mulhi_u32(mm_in, wp)
+            v = mm if last else jnp.where(is_x, tx, mm)
+        v = jnp.where(v >= qc, v - qc, v)
+        assert (np.asarray(v) == np.asarray(vals)).all()
