@@ -58,9 +58,18 @@ def main():
                 MxuNttPlan64,
                 mxu_fused_forward64,
                 mxu_fused_inverse64_mul,
+                mxu_fused_roundtrip64_mul,
             )
 
             mplan = MxuNttPlan64(log_n, q)
+            rt_tile = 8  # fused-roundtrip VMEM sweet spot (tile sweep)
+            rtabs = mplan.inverse_mul_tabs(key, rt_tile)
+
+            def mxu_rt_step(v):
+                return mxu_fused_roundtrip64_mul(mplan, v, rtabs, 1, rt_tile)
+
+            candidates.append(("mxu-fused-rt", mxu_rt_step))
+
             mtabs = mplan.inverse_mul_tabs(key, tile)
 
             def mxu_step(v):
