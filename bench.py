@@ -51,6 +51,7 @@ def main():
     kw, kp, qq = to_u64_pair(key), to_u64_pair(key_pre), u64_full((), q)
 
     step = None
+    path = "jnp-xla"  # fallback chain's terminal tier
     if jax.default_backend() == "tpu":
         candidates = []
         try:
@@ -101,6 +102,7 @@ def main():
                 probe = jax.jit(cand)(data)
                 jax.block_until_ready(probe)
                 step = cand
+                path = name
                 print(f"[bench] path={name}", file=sys.stderr)
                 break
             except Exception as e:  # pragma: no cover - environment dependent
@@ -162,6 +164,7 @@ def main():
                 "value": rate,
                 "unit": "modmul/s",
                 "vs_baseline": rate / 1e9,
+                "path": path,
             }
         )
     )

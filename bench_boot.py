@@ -5,7 +5,11 @@ Config-5 (BASELINE.json): the full blind-rotation pipeline — modulus
 switch, n_lwe CMux external products (exact CRT-NTT backend), sample
 extraction — over a batch of LWE ciphertexts on one chip.
 
-Prints one JSON line: bootstraps/s plus the parameter set.
+Prints one JSON line (bootstraps/s plus the parameter set) and writes the
+same record to ``BENCH_BOOT_r{PRIMUS_ROUND}.json`` so round-over-round
+bootstrap progress is verifiable from artifacts, not doc claims.
+Timing uses the same difference-of-workloads discipline as ``bench.py``
+(two rep counts, constant dispatch/fetch overhead cancels).
 Not the driver headline (that is bench.py); run manually.
 """
 
@@ -67,17 +71,25 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
 
-    # difference timing to cancel dispatch latency
-    t0 = time.perf_counter()
-    out = run(cts)
-    jax.block_until_ready(out)
-    t1 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
-        out = run(cts)
-    jax.block_until_ready(out)
-    t2 = time.perf_counter()
-    dt = max((t2 - t1) - (t1 - t0) * 0, (t2 - t1)) / reps
+    # difference-of-workloads timing: issue r async dispatches, fetch one
+    # checksum; (T(r2) - T(r1)) / (r2 - r1) cancels the constant
+    # dispatch/fetch overhead of the remote device.
+    def run_reps(r):
+        t0 = time.perf_counter()
+        for _ in range(r):
+            out = run(cts)
+        _ = float(jnp.sum(out, dtype=jnp.uint32))
+        return time.perf_counter() - t0
+
+    r1, r2 = 2, 10
+    _ = run_reps(r1)  # warm
+    best = None
+    for _i in range(3):
+        ta = run_reps(r1)
+        tb = run_reps(r2)
+        d = max(tb - ta, 1e-9)
+        best = d if best is None else min(best, d)
+    dt = best / (r2 - r1)
     rate = BATCH / dt
 
     # correctness: decrypted phases must carry the input signs
@@ -91,16 +103,19 @@ def main():
     if not ok:
         raise SystemExit("bootstrap output incorrect")
     print(f"[bench_boot] compile={compile_s:.1f}s step={dt*1e3:.1f}ms", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": f"batched gate bootstraps/s (N={N}, n_lwe={N_LWE}, L={LV}, B=2^{LB}, batch={BATCH})",
-                "value": rate,
-                "unit": "bootstraps/s",
-                "vs_baseline": None,
-            }
-        )
-    )
+    record = {
+        "metric": f"batched gate bootstraps/s (N={N}, n_lwe={N_LWE}, L={LV}, B=2^{LB}, batch={BATCH})",
+        "value": rate,
+        "unit": "bootstraps/s",
+        "vs_baseline": None,
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+        "sign_check": "ok",
+    }
+    print(json.dumps(record))
+    rnd = os.environ.get("PRIMUS_ROUND", "03")
+    with open(f"BENCH_BOOT_r{rnd}.json", "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -171,12 +171,14 @@ def _fwd32_fn(mesh: Mesh, axis: str, log_n: int, q: int, nd: int, impl: str):
         for s in range(log_d):
             t = n >> (s + 1)
             delta = t // shard  # device-step of the partner
-            # fetch partner values both directions with one ppermute each
-            from_up = jax.lax.ppermute(v, axis, [((i + delta) % d, i) for i in range(d)])
-            from_dn = jax.lax.ppermute(v, axis, [((i - delta) % d, i) for i in range(d)])
+            # the butterfly pairing is an XOR-partner swap: every device
+            # needs exactly the shard of device i^delta, so ONE swap
+            # permutation delivers both directions (halves ICI traffic vs
+            # separate +delta/-delta ppermutes)
+            partner = jax.lax.ppermute(v, axis, [(i ^ delta, i) for i in range(d)])
             is_x = (dev & delta) == 0
-            x = jnp.where(is_x, v, from_dn)
-            y = jnp.where(is_x, from_up, v)
+            x = jnp.where(is_x, v, partner)
+            y = jnp.where(is_x, partner, v)
             w = w_tab[s, :][None]
             wp = p_tab[s, :][None]
             tx = jnp.where(x >= tqc, x - tqc, x)
@@ -293,11 +295,11 @@ def _inv32_fn(mesh: Mesh, axis: str, log_n: int, q: int, nd: int, impl: str):
             t = 1 << s
             delta = t // shard
             last = s == log_n - 1
-            from_up = jax.lax.ppermute(v, axis, [((i + delta) % d, i) for i in range(d)])
-            from_dn = jax.lax.ppermute(v, axis, [((i - delta) % d, i) for i in range(d)])
+            # single XOR-partner swap (see forward)
+            partner = jax.lax.ppermute(v, axis, [(i ^ delta, i) for i in range(d)])
             is_x = (dev & delta) == 0
-            x = jnp.where(is_x, v, from_dn)
-            y = jnp.where(is_x, from_up, v)
+            x = jnp.where(is_x, v, partner)
+            y = jnp.where(is_x, partner, v)
             w = w_tab[s, :][None]
             wp = p_tab[s, :][None]
             sxy = x + y
@@ -453,19 +455,15 @@ def _fwd64_fn(mesh, axis: str, log_n: int, q: int, nd: int, impl: str):
         for s in range(log_d):
             t = n >> (s + 1)
             delta = t // shard
-            perm_up = [((i + delta) % d, i) for i in range(d)]
-            perm_dn = [((i - delta) % d, i) for i in range(d)]
-            from_up = U64(
-                jax.lax.ppermute(v.lo, axis, perm_up),
-                jax.lax.ppermute(v.hi, axis, perm_up),
-            )
-            from_dn = U64(
-                jax.lax.ppermute(v.lo, axis, perm_dn),
-                jax.lax.ppermute(v.hi, axis, perm_dn),
+            # single XOR-partner swap per stage (see the u32 forward)
+            perm = [(i ^ delta, i) for i in range(d)]
+            partner = U64(
+                jax.lax.ppermute(v.lo, axis, perm),
+                jax.lax.ppermute(v.hi, axis, perm),
             )
             is_x = (dev & delta) == 0
-            x = u64_select(is_x, v, from_dn)
-            y = u64_select(is_x, from_up, v)
+            x = u64_select(is_x, v, partner)
+            y = u64_select(is_x, partner, v)
             w = U64(wlo[s][None], whi[s][None])
             wp = U64(plo[s][None], phi[s][None])
             nx, ny = butterfly(x, y, w, wp)
@@ -573,19 +571,15 @@ def _inv64_fn(mesh, axis: str, log_n: int, q: int, nd: int, impl: str):
             t = 1 << s
             delta = t // shard
             last = s == log_n - 1
-            perm_up = [((i + delta) % d, i) for i in range(d)]
-            perm_dn = [((i - delta) % d, i) for i in range(d)]
-            from_up = U64(
-                jax.lax.ppermute(v.lo, axis, perm_up),
-                jax.lax.ppermute(v.hi, axis, perm_up),
-            )
-            from_dn = U64(
-                jax.lax.ppermute(v.lo, axis, perm_dn),
-                jax.lax.ppermute(v.hi, axis, perm_dn),
+            # single XOR-partner swap per stage (see the u32 forward)
+            perm = [(i ^ delta, i) for i in range(d)]
+            partner = U64(
+                jax.lax.ppermute(v.lo, axis, perm),
+                jax.lax.ppermute(v.hi, axis, perm),
             )
             is_x = (dev & delta) == 0
-            x = u64_select(is_x, v, from_dn)
-            y = u64_select(is_x, from_up, v)
+            x = u64_select(is_x, v, partner)
+            y = u64_select(is_x, partner, v)
             w = U64(wlo[s][None], whi[s][None])
             wp = U64(plo[s][None], phi[s][None])
             tx = reduce_once64(u64_add(x, y), tq)

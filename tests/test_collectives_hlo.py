@@ -89,3 +89,64 @@ def test_rotation_step_collectives_are_residue_compose_only(mesh):
         assert len(ids) <= 2 and (len(ids) == 1 or ids[1] - ids[0] == 4), (
             f"collective crosses the batch axis: group {ids}"
         )
+
+
+def test_coeff_sharded_one_permute_per_exchange_stage(mesh):
+    """Every coefficient-sharded exchange stage is ONE XOR-partner swap:
+    the compiled program must contain exactly log2(D) collective-permutes
+    per transform per value plane (u32: 1 plane, u64: 2) — the +delta /
+    -delta double-ppermute formulation would show 2x that."""
+    from primus_fhe_tpu.parallel.coeff_sharded import (
+        _fwd32_fn,
+        _fwd64_fn,
+        _inv32_fn,
+        _inv64_fn,
+        _default_tables32,
+        _default_inv_tables32,
+        _default_tables64,
+        _default_inv_tables64,
+    )
+
+    log_n, q32 = 8, 536813569
+    q64 = MODULI[0]
+    d = 4
+    # a 1-D coeff mesh over 4 devices
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:d])
+    cmesh = Mesh(devs, ("coeff",))
+    log_d = 2
+
+    rng = np.random.default_rng(5)
+    v32 = jnp.asarray(
+        rng.integers(0, q32, size=(2, 1 << log_n), dtype=np.uint64).astype(
+            np.uint32
+        )
+    )
+    v64 = to_u64_pair(
+        rng.integers(0, q64, size=(2, 1 << log_n), dtype=np.uint64)
+    )
+
+    def count_permutes(fn, *args):
+        txt = fn.lower(*args).compile().as_text()
+        return len(re.findall(r"collective-permute(?:-start)?\(", txt))
+
+    w32, p32 = _default_tables32(log_n, q32)
+    iw32, ip32 = _default_inv_tables32(log_n, q32)
+    w64, p64 = _default_tables64(log_n, q64)
+    iw64, ip64 = _default_inv_tables64(log_n, q64)
+
+    f32 = _fwd32_fn(cmesh, "coeff", log_n, q32, 2, "jnp")
+    assert count_permutes(f32, v32, w32, p32) == log_d
+    i32 = _inv32_fn(cmesh, "coeff", log_n, q32, 2, "jnp")
+    assert count_permutes(i32, v32, iw32, ip32) == log_d
+    f64 = _fwd64_fn(cmesh, "coeff", log_n, q64, 2, "jnp")
+    assert (
+        count_permutes(f64, v64.lo, v64.hi, w64.lo, w64.hi, p64.lo, p64.hi)
+        == 2 * log_d
+    )
+    i64 = _inv64_fn(cmesh, "coeff", log_n, q64, 2, "jnp")
+    assert (
+        count_permutes(i64, v64.lo, v64.hi, iw64.lo, iw64.hi, ip64.lo, ip64.hi)
+        == 2 * log_d
+    )
