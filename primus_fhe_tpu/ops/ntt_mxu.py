@@ -116,6 +116,69 @@ def _pow_table(base: int, q: int, count: int) -> list[int]:
     return out
 
 
+def four_step_matrices(log_n: int, q: int, h1: int, h1_inv: int):
+    """Host-side four-step factorization matrices (object-int numpy).
+
+    Returns a dict with the forward split ``A x B`` matrices ``m1[r0,k1]``,
+    ``m2[r1,k0]``, twiddle ``tw[r0,k0]``, and the mirrored-inverse split
+    ``Ai x Bi`` matrices ``m2i[k0,r1]``, ``twi[r0,k0]``, ``m1i[k1,r0]``
+    (``inv_n`` folded into ``m1i``).  Shared by the 7-bit-limb plan
+    (:class:`MxuNttPlan64`) and the byte-radix plan (``ops/ntt_mxu8.py``).
+    Math per :class:`MxuNttPlan64`'s docstring; reference semantics
+    ``crates/primus_ntt/src/ntt/prime64/scalar/transform.rs``."""
+    n = 1 << log_n
+    A, B = 1 << h1, 1 << (log_n - h1)
+    Ai, Bi = 1 << h1_inv, 1 << (log_n - h1_inv)
+    g = GoldenNtt(log_n, q)
+    psi = g.root
+
+    def vandermonde(col_pows, row_pows):
+        R, C = len(row_pows), len(col_pows)
+        m = np.empty((R, C), dtype=object)
+        for r in range(R):
+            base = row_pows[r]
+            acc = 1
+            for c in range(C):
+                m[r, c] = acc * col_pows[c] % q
+                acc = acc * base % q
+        return m
+
+    omega = psi * psi % q
+    om_a = pow(omega, B, q)
+    om_b = pow(omega, A, q)
+    rev1 = [reverse_lsbs(i, h1) for i in range(A)]
+    rev2 = [reverse_lsbs(i, log_n - h1) for i in range(B)]
+    psi_b = _pow_table(pow(psi, B, q), q, A)
+    om_a_rev = [pow(om_a, e, q) for e in rev1]
+    om_b_rev = [pow(om_b, e, q) for e in rev2]
+    psi_pows = _pow_table(psi, q, B)
+    om_rev = [pow(omega, e, q) for e in rev1]
+    m1 = vandermonde(psi_b, om_a_rev)
+    m2 = vandermonde([1] * B, om_b_rev)
+    tw = vandermonde(psi_pows, om_rev)
+
+    ipsi = pow(psi, 2 * n - 1, q)
+    iom = ipsi * ipsi % q
+    iom_a = pow(iom, Bi, q)
+    iom_b = pow(iom, Ai, q)
+    inv_n = g.inv_n
+    rev1i = [reverse_lsbs(i, h1_inv) for i in range(Ai)]
+    rev2i = [reverse_lsbs(i, log_n - h1_inv) for i in range(Bi)]
+    iom_a_rev = [pow(iom_a, e, q) for e in rev1i]
+    iom_b_rev = [pow(iom_b, e, q) for e in rev2i]
+    ipsi_pows = _pow_table(ipsi, q, Bi)
+    iom_rev = [pow(iom, e, q) for e in rev1i]
+    m2i = vandermonde([1] * Bi, iom_b_rev).T.copy()
+    twi = vandermonde(ipsi_pows, iom_rev)
+    ipsi_b = _pow_table(pow(ipsi, Bi, q), q, Ai)
+    m1i = vandermonde([p * inv_n % q for p in ipsi_b], iom_a_rev).T.copy()
+    return {
+        "A": A, "B": B, "Ai": Ai, "Bi": Bi,
+        "m1": m1, "m2": m2, "tw": tw,
+        "m2i": m2i, "twi": twi, "m1i": m1i,
+    }
+
+
 class MxuNttPlan64:
     """Constant matrices for the MXU four-step forward *and* inverse NTT.
 
@@ -166,40 +229,9 @@ class MxuNttPlan64:
         self.B = B = 1 << (log_n - h1)
         self.Ai = Ai = 1 << h1_inv
         self.Bi = Bi = 1 << (log_n - h1_inv)
-        g = GoldenNtt(log_n, q)
-        psi = g.root
-
-        def vandermonde(col_pows, row_pows):
-            """``M[r, c] = col_pows[c] * row_pows[r]^c`` — built per row from
-            running products (avoids A*B modular exponentiations)."""
-            R, C = len(row_pows), len(col_pows)
-            m = np.empty((R, C), dtype=object)
-            for r in range(R):
-                base = row_pows[r]
-                acc = 1
-                for c in range(C):
-                    m[r, c] = acc * col_pows[c] % q
-                    acc = acc * base % q
-            return m
-
-        # --- forward matrices (split A x B) ------------------------------
-        omega = psi * psi % q
-        om_a = pow(omega, B, q)  # order A
-        om_b = pow(omega, A, q)  # order B
-        rev1 = [reverse_lsbs(i, h1) for i in range(A)]
-        rev2 = [reverse_lsbs(i, log_n - h1) for i in range(B)]
-        psi_b = _pow_table(pow(psi, B, q), q, A)  # psi^{B k1}
-        om_a_rev = [pow(om_a, e, q) for e in rev1]
-        om_b_rev = [pow(om_b, e, q) for e in rev2]
-        psi_pows = _pow_table(psi, q, B)  # psi^{k0}
-        om_rev = [pow(omega, e, q) for e in rev1]
-
-        # m1[r0, k1] = psi^{B k1} om_A^{rev1[r0] k1}
-        m1 = vandermonde(psi_b, om_a_rev)
-        # m2[r1, k0] = om_B^{rev2[r1] k0}
-        m2 = vandermonde([1] * B, om_b_rev)
-        # tw[r0, k0] = psi^{k0} omega^{rev1[r0] k0}
-        tw = vandermonde(psi_pows, om_rev)
+        fs = four_step_matrices(log_n, q, h1, h1_inv)
+        m1, m2, tw = fs["m1"], fs["m2"], fs["tw"]
+        m2i, twi, m1i = fs["m2i"], fs["twi"], fs["m1i"]
         tw28 = (tw * ((1 << 28) % q)) % q
 
         self.w1 = _limb_matrix(m1, q)
@@ -217,30 +249,11 @@ class MxuNttPlan64:
         self._tiled: dict = {}
 
         # --- inverse matrices (independent split Ai x Bi; see class
-        # docstring) -------------------------------------------------------
-        ipsi = pow(psi, 2 * n - 1, q)
-        iom = ipsi * ipsi % q
-        iom_a = pow(iom, Bi, q)
-        iom_b = pow(iom, Ai, q)
-        inv_n = g.inv_n
-        rev1i = [reverse_lsbs(i, h1_inv) for i in range(Ai)]
-        rev2i = [reverse_lsbs(i, log_n - h1_inv) for i in range(Bi)]
-        iom_a_rev = [pow(iom_a, e, q) for e in rev1i]
-        iom_b_rev = [pow(iom_b, e, q) for e in rev2i]
-        ipsi_pows = _pow_table(ipsi, q, Bi)
-        iom_rev = [pow(iom, e, q) for e in rev1i]
-        # m2i[k0, r1] = iom_B^{rev2[r1] k0}: rows k0, so transpose the
-        # vandermonde built over rows rev2.
-        m2i = vandermonde([1] * Bi, iom_b_rev).T.copy()
-        # twi[r0, k0] = ipsi^{k0} iom^{rev1[r0] k0} (the mirrored kernel's
-        # value grid after pass 1 is rows (poly, r0), lanes k0); the einsum
-        # path reads the transposed tables.
-        twi = vandermonde(ipsi_pows, iom_rev)
+        # docstring).  twi[r0, k0] = ipsi^{k0} iom^{rev1[r0] k0} (the
+        # mirrored kernel's value grid after pass 1 is rows (poly, r0),
+        # lanes k0); the einsum path reads the transposed tables. --------
         twi_t = twi.T.copy()
         twi28_t = (twi_t * ((1 << 28) % q)) % q
-        # m1i[k1, r0] = inv_n ipsi^{B k1} iom_A^{rev1[r0] k1}: rows k1.
-        ipsi_b = _pow_table(pow(ipsi, Bi, q), q, Ai)
-        m1i = vandermonde([p * inv_n % q for p in ipsi_b], iom_a_rev).T.copy()
 
         self.w2i = _limb_matrix(m2i, q)
         self.w1i = _limb_matrix(m1i, q)

@@ -1,0 +1,776 @@
+"""Byte-radix (signed base-256) MXU four-step NTT — the wide-tier kernel.
+
+Same four-step factorization and fused-kernel structure as
+``ops/ntt_mxu.py`` (two int8 matmuls + one pointwise twiddle per
+direction, reference semantics ``crates/primus_ntt/src/ntt/prime64/
+scalar/transform.rs``), with the 7-bit unsigned limb split replaced by a
+**signed byte split**:
+
+* value side — the bytes of ``v`` XOR ``0x80``, bitcast to int8
+  (``byte - 128``): byte boundaries align with the u32 words, so a limb
+  is one shift + one truncating cast, and the XOR is two whole-word ops;
+* matrix side — **balanced base-256 digits** in ``[-128, 127]`` of
+  ``M * 2^(8l) mod q``;
+* the systematic offsets (value ``-128`` per byte, digit-sum bias) fold
+  into ONE per-row additive constant applied at the twiddle/finish folds
+  (``corr = sum_c (128 * rowsum_c - BIAS) 2^(8c) mod q``).
+
+This buys two things over the 7-bit kernel:
+
+1. ~12.5% fewer matmul MACs and a cheaper split (7 planes instead of 8
+   for the ``q < 2^53`` tier) — the round-trip headline path;
+2. **the 60-bit prime tier**: 8 byte planes cover any u64 value, and
+   int32 digit sums stay exact (``8*256*128^2 = 2^25``), so the MXU path
+   extends to ``q < 2^61`` — covering the reference's full AVX-512 range
+   (``crates/primus_ntt/src/ntt/prime64/avx512/internal.rs:1-73``, golden
+   60-bit prime 1152921504606830593) that previously rode the VPU
+   butterfly.
+
+Bit-exact against the golden model on the reference primes
+(``tests/test_ntt_mxu8.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..numeric.limb import U64
+from ..utils.contracts import check_range_u64
+from .ntt_mxu import (
+    _DOT,
+    _const64,
+    _make_shoup_lazy64,
+    _make_shoup_narrow64,
+    _mask64p,
+    _natural_call,
+    _pad_batch,
+    _sconst,
+    _shoup_tabs,
+    _shr64p,
+    _solinas_down,
+    four_step_matrices,
+)
+from .ntt_pallas import (
+    _add64,
+    _reduce_once64,
+    _shl64,
+    _solinas_form,
+    _sub64,
+)
+
+_U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction
+# ---------------------------------------------------------------------------
+
+
+def _planes_for(q: int) -> int:
+    """7 byte planes for the ``q < 2^53`` tier, 8 for ``q < 2^61``."""
+    if q < 1 << 53:
+        return 7
+    if q < 1 << 61:
+        return 8
+    raise ValueError("byte-radix MXU plan requires q < 2^61")
+
+
+def _balanced_digits_arr(ms, planes: int):
+    """Balanced base-256 digits (each in [-128,127]) of an object-int
+    array of values in [0, 2^(8*planes - 2)); list of int8 arrays."""
+    x = ms.astype(object, copy=True)
+    digs = []
+    for _c in range(planes):
+        d = x & 255
+        x = x >> 8
+        over = d >= 128
+        d = d - over * 256
+        x = x + over
+        digs.append(d)
+    assert (x == 0).all(), "balanced digit overflow (value too wide)"
+    assert all((abs(d) <= 128).all() for d in digs)
+    return [d.astype(np.int8) for d in digs]
+
+
+def _byte_matrix(m, q: int, planes: int) -> np.ndarray:
+    """``W[(c,r),(l,k)] = bal_c(M[r,k] * 2^(8l) mod q)`` in block order
+    (digit planes are contiguous row/col blocks)."""
+    R, K = m.shape
+    w = np.zeros((planes * R, planes * K), dtype=np.int8)
+    for l in range(planes):
+        scale = pow(2, 8 * l, q)
+        digs = _balanced_digits_arr((m * scale) % q, planes)
+        for c in range(planes):
+            w[c * R : (c + 1) * R, l * K : (l + 1) * K] = digs[c]
+    return w
+
+
+def _bias_for(planes: int, K: int) -> int:
+    """Digit-sum bias: |S| <= planes*K*128*128 exactly."""
+    return planes * K * 128 * 128
+
+
+def _corr_vec(w: np.ndarray, planes: int, R: int, bias: int, q: int):
+    """Per-output-row additive constant (canonical, mod q): the folded
+    value-XOR and bias offsets.  ``w`` in block order (planes*R rows)."""
+    rs = w.astype(np.int64).sum(axis=1).reshape(planes, R)
+    wsum = sum(1 << (8 * c) for c in range(planes))
+    corr = np.empty(R, dtype=object)
+    for r in range(R):
+        acc = sum(128 * int(rs[c, r]) * (1 << (8 * c)) for c in range(planes))
+        corr[r] = (acc - bias * wsum) % q
+    return corr
+
+
+def _pair_np(vec) -> tuple[np.ndarray, np.ndarray]:
+    """Object-int vector -> (lo, hi) u32 arrays."""
+    lo = np.asarray([int(v) & 0xFFFFFFFF for v in vec], dtype=np.uint32)
+    hi = np.asarray([int(v) >> 32 for v in vec], dtype=np.uint32)
+    return lo, hi
+
+
+def _mxu8_solinas(q: int):
+    """Solinas form usable by the byte kernel's 2^32-split folds."""
+    sol = _solinas_form(q)
+    return sol if sol is not None and sol[0] > 32 else None
+
+
+class Mxu8NttPlan64:
+    """Byte-radix four-step plan: constant matrices, twiddle Shoup
+    tables, and offset-correction vectors for forward + mirrored inverse.
+
+    Valid for ``q < 2^61`` (8 planes; 7 when ``q < 2^53``).  Same
+    natural-layout kernel contracts as :class:`ops.ntt_mxu.MxuNttPlan64`.
+    """
+
+    def __init__(self, log_n: int, q: int, h1: int | None = None):
+        self.planes = P = _planes_for(q)
+        self.log_n = log_n
+        self.n = n = 1 << log_n
+        self.q = q
+        if h1 is None:
+            h1 = log_n - max(7, -(-log_n // 2)) if log_n >= 10 else (log_n + 1) // 2
+        if not 0 <= h1 <= log_n:
+            raise ValueError(f"h1 must be in [0, {log_n}], got {h1}")
+        self.A = A = 1 << h1
+        self.B = B = 1 << (log_n - h1)
+        # mirrored split (rt fusion requires Ai == A)
+        self.Ai, self.Bi = A, B
+        if P * max(A, B) * 128 * 128 >= 1 << 31:
+            raise ValueError("split too wide for int32 digit sums")
+        fs = four_step_matrices(log_n, q, h1, h1)
+
+        self.w1f = _byte_matrix(fs["m1"], q, P)  # (PA, PA): rows (c,r0)
+        w2 = _byte_matrix(fs["m2"], q, P)  # rows (c,r1)
+        self.w2f = np.ascontiguousarray(w2.T)  # (PB, PB): cols (c,r1)
+        w1m = _byte_matrix(fs["m2i"], q, P)  # rows (c,k0)
+        self.w1mf = np.ascontiguousarray(w1m.T)  # (PB, PB): cols (c,k0)
+        self.w2mf = _byte_matrix(fs["m1i"], q, P)  # (PA, PA): rows (c,k1)
+
+        # biases per pass (contraction widths: fwd pass1 = A, fwd pass2 =
+        # B, inv pass1 = Bi, inv pass2 = Ai)
+        self.bias_f1 = _bias_for(P, A)
+        self.bias_f2 = _bias_for(P, B)
+        self.bias_i1 = _bias_for(P, B)
+        self.bias_i2 = _bias_for(P, A)
+
+        # per-row corrections (canonical u64 pairs).  Row-indexed ones are
+        # stored as (R, 1) and lane-tiled at tab-build time (a lane dim of
+        # 1 has no legal Mosaic layout); lane-indexed ones stay (1, C)
+        # and broadcast over rows inside the kernel.
+        def row_tab(v):  # (R,) -> (R, B) lane-broadcast table
+            return np.ascontiguousarray(
+                np.broadcast_to(v.reshape(-1, 1), (v.size, B))
+            )
+
+        c_f1 = _pair_np(_corr_vec(self.w1f, P, A, self.bias_f1, q))
+        self.corr_f1 = tuple(row_tab(x) for x in c_f1)  # rows r0
+        c_f2 = _pair_np(_corr_vec(w2, P, B, self.bias_f2, q))
+        self.corr_f2 = tuple(x.reshape(1, B) for x in c_f2)  # lanes r1
+        c_i1 = _pair_np(_corr_vec(w1m, P, B, self.bias_i1, q))
+        self.corr_i1 = tuple(x.reshape(1, B) for x in c_i1)  # lanes k0
+        c_i2 = _pair_np(_corr_vec(self.w2mf, P, A, self.bias_i2, q))
+        self.corr_i2 = tuple(row_tab(x) for x in c_i2)  # rows k1
+
+        # twiddle Shoup tables; non-Solinas also needs the 2^32-scaled
+        # tables and the pre-multiplied correction term corr*T mod q
+        sol = _mxu8_solinas(q)
+        tw, twi = fs["tw"], fs["twi"]
+        self.t_tabs = _shoup_tabs(tw, q)
+        self.tim_tabs = _shoup_tabs(twi, q)
+        if sol is None:
+            self.t32_tabs = _shoup_tabs((tw * ((1 << 32) % q)) % q, q)
+            self.tim32_tabs = _shoup_tabs((twi * ((1 << 32) % q)) % q, q)
+            cf = np.empty((A, B), dtype=object)
+            ci = np.empty((A, B), dtype=object)
+            corr1 = _corr_vec(self.w1f, P, A, self.bias_f1, q)
+            corr1i = _corr_vec(w1m, P, B, self.bias_i1, q)
+            for r in range(A):
+                for k in range(B):
+                    cf[r, k] = corr1[r] * tw[r, k] % q
+                    ci[r, k] = corr1i[k] * twi[r, k] % q
+            self.corrt_f = self._pair_tab(cf)
+            self.corrt_i = self._pair_tab(ci)
+        else:
+            self.t32_tabs = self.tim32_tabs = None
+            self.corrt_f = self.corrt_i = None
+        self._tiled: dict = {}
+        self._tiled_inv: dict = {}
+        self._tiled_ci2: dict = {}
+
+    @staticmethod
+    def _pair_tab(m) -> tuple[np.ndarray, np.ndarray]:
+        lo = np.vectorize(lambda v: int(v) & 0xFFFFFFFF, otypes=[np.uint32])(m)
+        hi = np.vectorize(lambda v: int(v) >> 32, otypes=[np.uint32])(m)
+        return lo, hi
+
+    def _tile_cache(self, cache, tabs, tile, axis):
+        got = cache.get(tile)
+        if got is None:
+            reps = (1, tile) if axis == 1 else (tile, 1)
+            got = tuple(np.tile(np.asarray(t), reps) for t in tabs)
+            cache[tile] = got
+        return got
+
+    def tiled_tabs(self, tile: int):
+        """Forward tables: twiddle Shoup tabs (+2^32-scaled + corr*T for
+        general q) tiled ``(A, tile*B)``, then the pass-1 correction pair
+        lane-tiled ``(A, tile*B)`` and the pass-2 correction pair
+        ``(1, B)``."""
+        if _mxu8_solinas(self.q):
+            tabs = self.t_tabs + self.corr_f1
+        else:
+            tabs = self.t_tabs + self.t32_tabs + self.corrt_f + self.corr_f1
+        tiled = self._tile_cache(self._tiled, tabs, tile, axis=1)
+        return tiled + self.corr_f2
+
+    def tiled_tabs_inv(self, tile: int):
+        """Mirrored-inverse tables: twiddle tabs tiled ``(tile*A, B)``,
+        pass-1 correction ``(1, B)``, pass-2 correction lane-tiled
+        ``(A, tile*B)``."""
+        if _mxu8_solinas(self.q):
+            tabs = self.tim_tabs
+        else:
+            tabs = self.tim_tabs + self.tim32_tabs + self.corrt_i
+        tiled = self._tile_cache(self._tiled_inv, tabs, tile, axis=0)
+        ci2 = self._tile_cache(self._tiled_ci2, self.corr_i2, tile, axis=1)
+        return tiled + self.corr_i1 + ci2
+
+    def inverse_mul_tabs(self, key, tile: int):
+        """Shoup tables of a fixed NTT-domain operand in the mirrored
+        kernel's value layout ``(tile*A, B)`` (bit-reversed order)."""
+        m = np.asarray([int(v) for v in np.asarray(key).reshape(-1)], dtype=object)
+        m = m.reshape(self.Ai, self.Bi)
+        tabs = _shoup_tabs(m, self.q)
+        return tuple(np.tile(t, (tile, 1)) for t in tabs)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel byte arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _split_bytes_list(lo, hi, planes: int):
+    """Signed byte planes of a (lo, hi) u32 pair: byte XOR 0x80 bitcast
+    to int8 (= byte - 128).  Byte boundaries align with the words, so
+    each plane is one shift + one truncating cast."""
+    xl = lo ^ np.uint32(0x80808080)
+    xh = hi ^ np.uint32(0x80808080 if planes == 8 else 0x00808080)
+    out = []
+    for l in range(planes):
+        src = xl if l < 4 else xh
+        s = 8 * (l % 4)
+        part = src if s == 0 else src >> s
+        out.append(part.astype(jnp.int8))
+    return out
+
+
+def _recombine_quad(ds, smax: int):
+    """``sum_i ds[i] 2^(8i)`` of 2..4 biased u32 digit planes (< smax)
+    as a u64 pair.  When ``smax*257 < 2^32`` the 8-bit-shifted pairing is
+    carry-free in u32 (one add64 total); otherwise a carrying ladder."""
+    k = len(ds)
+    if smax * 257 < 1 << 32:
+        e01 = ds[0] + (ds[1] << 8) if k >= 2 else ds[0]
+        if k == 2:
+            return e01, jnp.zeros_like(e01)
+        e23 = ds[2] + (ds[3] << 8) if k == 4 else ds[2]
+        return _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
+    r = (ds[0], jnp.zeros_like(ds[0]))
+    for i in range(1, k):
+        s = 8 * i
+        r = _add64(*r, ds[i] << s, ds[i] >> (32 - s))
+    return r
+
+
+def _recombine_bytes(digs, bias: int, smax: int):
+    """Biased halves of ``planes`` int32 digit planes: returns
+    ``(Ulow, Uhigh)`` u64 pairs with value ``U = Ulow + 2^32 Uhigh``
+    (the true mod-q value is ``U + corr``)."""
+    b = np.uint32(bias)
+    ds = [d.astype(_U32) + b for d in digs]
+    return _recombine_quad(ds[:4], smax), _recombine_quad(ds[4:], smax)
+
+
+def _fold32(vl, vh, sol):
+    """``Ulow + 2^32 * Uhigh (mod q)`` for Solinas ``q = 2^a - 2^b + 1``
+    with ``a > 32`` — multiply-free (``2^a === 2^b - 1``)."""
+    a, b = sol
+    s = a - 32
+    vh1 = _shr64p(*vh, s)
+    vh0 = _mask64p(*vh, s)
+    t = _sub64(*_shl64(*vh1, b), *vh1)
+    r = _add64(*vl, *_shl64(*vh0, 32))
+    return _add64(*r, *t)
+
+
+def _fold32_bound(low_bound: int, high_bound: int, sol) -> int:
+    a, b = sol
+    vh1 = (high_bound - 1) >> (a - 32)
+    return low_bound + (1 << a) + vh1 * ((1 << b) - 1)
+
+
+def _u_bounds(bias: int, planes: int):
+    """(low, high) recombined-half bounds for digit planes <= 2*bias."""
+    smax = 2 * bias
+    low = sum(smax << (8 * c) for c in range(4))
+    high = sum(smax << (8 * c) for c in range(planes - 4))
+    return low, high, smax
+
+
+def _twiddle8(q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc):
+    """Twiddle on biased halves: Solinas folds + corr-add + ONE Shoup
+    (output < 4q); general q: two narrow Shoups (reduced once to < 4q) +
+    precomputed corr*T add (output < 5q — fits the byte split range)."""
+    if sol:
+        y = _fold32(v_lo, v_hi, sol)
+        y = _add64(*y, *corr)
+        return shoup(*y, *t_t, *qc)
+    m1 = narrow(*v_lo, *t_t, *qc)
+    m2 = narrow(*v_hi, *t32_t, *qc)
+    s = _reduce_once64(*_add64(*m1, *m2), *_const64(4 * q))
+    return _add64(*s, *ct_t)
+
+
+def _finish8(q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc):
+    """Final fold of pass-2 halves + correction down to the output range."""
+    low_b, high_b, _ = bounds
+    if sol:
+        r = _fold32(v2l, v2h, sol)
+        r = _add64(*r, *corr)
+        bound = _fold32_bound(low_b, high_b, sol) + q
+        rlo, rhi = _solinas_down(r, bound, sol, q)
+    else:
+        mh = narrow(*v2h, *_sconst((1 << 32) % q, q), *qc)
+        t = _add64(*_add64(*v2l, *mh), *corr)
+        rlo, rhi = shoup(*t, *_sconst(1, q), *qc)  # Barrett, [0,4q)
+        if out_factor <= 2:
+            rlo, rhi = _reduce_once64(rlo, rhi, *_const64(2 * q))
+    if out_factor == 1:
+        rlo, rhi = _reduce_once64(rlo, rhi, *_const64(q))
+    return rlo, rhi
+
+
+def _chunking(tile: int, A: int):
+    cs = tile
+    for c in (4, 2, 1):
+        if tile % c == 0 and c * A >= 128 and c < tile:
+            cs = c
+            break
+    return cs, tile // cs
+
+
+def _n_twid(sol) -> int:
+    """Twiddle-group table count (excl. the 4 correction tables)."""
+    return 8 if sol else 18  # +8 scaled tables +2 corr*T planes
+
+
+def _unpack_tabs(rest, sol):
+    """(t8, t32, ct, cA, cB, next_index) from a kernel's rest tuple:
+    twiddle group, then the two correction pairs."""
+    t8 = rest[:8]
+    k = 8 if sol else 18
+    t32 = rest[8:16] if not sol else ()
+    ct = rest[16:18] if not sol else ()
+    cA = rest[k : k + 2]
+    cB = rest[k + 2 : k + 4]
+    return t8, t32, ct, cA, cB, k + 4
+
+
+# ---------------------------------------------------------------------------
+# Fused kernels (natural layout, mirror structure of ops/ntt_mxu.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
+    q, A, B, P = plan.q, plan.A, plan.B, plan.planes
+    sol = _mxu8_solinas(q)
+    shoup = _make_shoup_lazy64(q, exact=False)
+    narrow = _make_shoup_narrow64(q)
+    cs, chunks = _chunking(tile, A)
+    b1 = _u_bounds(plan.bias_f1, P)
+    b2 = _u_bounds(plan.bias_f2, P)
+
+    def kernel(w1_ref, w2_ref, *rest):
+        t_t8, t32_8, ct_2, c1_t, c2_t, nt = _unpack_tabs(rest, sol)
+        vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[nt : nt + 4]
+        qc = _const64(q)
+        c2 = (c2_t[0][:], c2_t[1][:])  # (1, B): broadcasts over rows
+
+        def stage1(g):
+            parts = []
+            for p in range(g * cs, (g + 1) * cs):
+                sl = vlo_ref[p * A : (p + 1) * A, :]
+                sh = vhi_ref[p * A : (p + 1) * A, :]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
+                )
+            x8 = jnp.concatenate(parts, axis=1)  # (PA, cs*B)
+            return _DOT(w1_ref[:], x8)  # rows (c, r0)
+
+        def stage2(g, o1):
+            digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
+            v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, b1[2])
+            lanes = slice(g * cs * B, (g + 1) * cs * B)
+            t_t = [r[:, lanes] for r in t_t8]
+            t32 = [r[:, lanes] for r in t32_8]
+            ct = [r[:, lanes] for r in ct_2]
+            c1 = (c1_t[0][:, lanes], c1_t[1][:, lanes])
+            s2lo, s2hi = _twiddle8(
+                q, sol, shoup, narrow, v_lo, v_hi, c1, t_t, t32, ct, qc
+            )
+            parts = []
+            for p in range(cs):
+                sl = s2lo[:, p * B : (p + 1) * B]
+                sh = s2hi[:, p * B : (p + 1) * B]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                )
+            a2 = jnp.concatenate(parts, axis=0)  # (cs*A, PB)
+            return _DOT(a2, w2_ref[:])  # cols (c, r1)
+
+        def stage3(g, o2):
+            d2 = [o2[:, c * B : (c + 1) * B] for c in range(P)]
+            v2l, v2h = _recombine_bytes(d2, plan.bias_f2, b2[2])
+            rlo, rhi = _finish8(
+                q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc
+            )
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            olo_ref[rows, :] = rlo
+            ohi_ref[rows, :] = rhi
+
+        o1s = [stage1(g) for g in range(chunks)]
+        o2s = [stage2(g, o1) for g, o1 in enumerate(o1s)]
+        for g, o2 in enumerate(o2s):
+            stage3(g, o2)
+
+    return kernel
+
+
+def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool):
+    q, A, B, P = plan.q, plan.Ai, plan.Bi, plan.planes
+    sol = _mxu8_solinas(q)
+    shoup = _make_shoup_lazy64(q, exact=False)
+    narrow = _make_shoup_narrow64(q)
+    cs, chunks = _chunking(tile, A)
+    b1 = _u_bounds(plan.bias_i1, P)
+    b2 = _u_bounds(plan.bias_i2, P)
+
+    def kernel(w1m_ref, w2m_ref, *rest):
+        t_t8, t32_8, ct_2, ci1_t, ci2_t, pos = _unpack_tabs(rest, sol)
+        mul_refs = rest[pos : pos + 8] if mul else ()
+        nt = pos + (8 if mul else 0)
+        vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[nt : nt + 4]
+        qc = _const64(q)
+        c1 = (ci1_t[0][:], ci1_t[1][:])  # (1, B): broadcasts over rows
+        c2 = (ci2_t[0][:, : cs * B], ci2_t[1][:, : cs * B])
+
+        def stage1(g):
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            vlo = vlo_ref[rows, :]
+            vhi = vhi_ref[rows, :]
+            if mul:
+                m_t = [r[rows, :] for r in mul_refs]
+                vlo, vhi = shoup(vlo, vhi, *m_t, *qc)
+            parts = []
+            for p in range(cs):
+                sl = vlo[p * A : (p + 1) * A, :]
+                sh = vhi[p * A : (p + 1) * A, :]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                )
+            x8 = jnp.concatenate(parts, axis=0)  # (cs*A, PB)
+            return _DOT(x8, w1m_ref[:])  # cols (c, k0)
+
+        def stage2(g, o1):
+            digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
+            v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, b1[2])
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            t_t = [r[rows, :] for r in t_t8]
+            t32 = [r[rows, :] for r in t32_8]
+            ct = [r[rows, :] for r in ct_2]
+            s2lo, s2hi = _twiddle8(
+                q, sol, shoup, narrow, v_lo, v_hi, c1, t_t, t32, ct, qc
+            )
+            parts = []
+            for p in range(cs):
+                sl = s2lo[p * A : (p + 1) * A, :]
+                sh = s2hi[p * A : (p + 1) * A, :]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
+                )
+            a2 = jnp.concatenate(parts, axis=1)  # (PA, cs*B)
+            return _DOT(w2m_ref[:], a2)  # rows (c, k1)
+
+        def stage3(g, o2):
+            d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
+            v2l, v2h = _recombine_bytes(d2, plan.bias_i2, b2[2])
+            rlo, rhi = _finish8(
+                q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc
+            )
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            olo_ref[rows, :] = jnp.concatenate(
+                [rlo[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
+            )
+            ohi_ref[rows, :] = jnp.concatenate(
+                [rhi[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
+            )
+
+        o1s = [stage1(g) for g in range(chunks)]
+        o2s = [stage2(g, o1) for g, o1 in enumerate(o1s)]
+        for g, o2 in enumerate(o2s):
+            stage3(g, o2)
+
+    return kernel
+
+
+def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
+    """Fused round trip: forward -> pointwise key multiply -> inverse in
+    one kernel (the negacyclic multiply-by-fixed-operand,
+    crates/primus_lattice/src/rlwe/coeff.rs:114-116)."""
+    q, A, B, P = plan.q, plan.A, plan.B, plan.planes
+    sol = _mxu8_solinas(q)
+    shoup = _make_shoup_lazy64(q, exact=False)
+    narrow = _make_shoup_narrow64(q)
+    cs, chunks = _chunking(tile, A)
+    bf1 = _u_bounds(plan.bias_f1, P)
+    bf2 = _u_bounds(plan.bias_f2, P)
+    bi1 = _u_bounds(plan.bias_i1, P)
+    bi2 = _u_bounds(plan.bias_i2, P)
+    ntab = _n_twid(sol) + 4  # per direction: twiddle group + 2 corr pairs
+
+    def kernel(w1_ref, w2_ref, w1m_ref, w2m_ref, *rest):
+        ft8, ft32, fct, cf1_t, cf2_t, _ = _unpack_tabs(rest[:ntab], sol)
+        it8, it32, ict, ci1_t, ci2_t, _ = _unpack_tabs(
+            rest[ntab : 2 * ntab], sol
+        )
+        mul_refs = rest[2 * ntab : 2 * ntab + 8]
+        vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[2 * ntab + 8 : 2 * ntab + 12]
+        qc = _const64(q)
+        cf2 = (cf2_t[0][:], cf2_t[1][:])
+        ci1 = (ci1_t[0][:], ci1_t[1][:])
+        ci2 = (ci2_t[0][:, : cs * B], ci2_t[1][:, : cs * B])
+
+        def fwd_chunk(g):
+            parts = []
+            for p in range(g * cs, (g + 1) * cs):
+                sl = vlo_ref[p * A : (p + 1) * A, :]
+                sh = vhi_ref[p * A : (p + 1) * A, :]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
+                )
+            x8 = jnp.concatenate(parts, axis=1)
+            o1 = _DOT(w1_ref[:], x8)
+            digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
+            v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, bf1[2])
+            lanes = slice(g * cs * B, (g + 1) * cs * B)
+            t_t = [r[:, lanes] for r in ft8]
+            t32 = [r[:, lanes] for r in ft32]
+            ct = [r[:, lanes] for r in fct]
+            cf1 = (cf1_t[0][:, lanes], cf1_t[1][:, lanes])
+            s2lo, s2hi = _twiddle8(
+                q, sol, shoup, narrow, v_lo, v_hi, cf1, t_t, t32, ct, qc
+            )
+            parts = []
+            for p in range(cs):
+                sl = s2lo[:, p * B : (p + 1) * B]
+                sh = s2hi[:, p * B : (p + 1) * B]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                )
+            a2 = jnp.concatenate(parts, axis=0)
+            o2 = _DOT(a2, w2_ref[:])
+            d2 = [o2[:, c * B : (c + 1) * B] for c in range(P)]
+            v2l, v2h = _recombine_bytes(d2, plan.bias_f2, bf2[2])
+            # lazy NTT-domain output feeds the key multiply directly
+            return _finish8(q, sol, shoup, narrow, v2l, v2h, cf2, bf2, 4, qc)
+
+        def inv_chunk(g, flo, fhi):
+            rows = slice(g * cs * A, (g + 1) * cs * A)
+            m_t = [r[rows, :] for r in mul_refs]
+            vlo, vhi = shoup(flo, fhi, *m_t, *qc)  # * key, < 4q
+            parts = []
+            for p in range(cs):
+                sl = vlo[p * A : (p + 1) * A, :]
+                sh = vhi[p * A : (p + 1) * A, :]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                )
+            x8 = jnp.concatenate(parts, axis=0)
+            o1 = _DOT(x8, w1m_ref[:])
+            digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
+            v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, bi1[2])
+            t_t = [r[rows, :] for r in it8]
+            t32 = [r[rows, :] for r in it32]
+            ct = [r[rows, :] for r in ict]
+            s2lo, s2hi = _twiddle8(
+                q, sol, shoup, narrow, v_lo, v_hi, ci1, t_t, t32, ct, qc
+            )
+            parts = []
+            for p in range(cs):
+                sl = s2lo[p * A : (p + 1) * A, :]
+                sh = s2hi[p * A : (p + 1) * A, :]
+                parts.append(
+                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
+                )
+            a2 = jnp.concatenate(parts, axis=1)
+            o2 = _DOT(w2m_ref[:], a2)
+            d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
+            v2l, v2h = _recombine_bytes(d2, plan.bias_i2, bi2[2])
+            rlo, rhi = _finish8(
+                q, sol, shoup, narrow, v2l, v2h, ci2, bi2, out_factor, qc
+            )
+            olo_ref[rows, :] = jnp.concatenate(
+                [rlo[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
+            )
+            ohi_ref[rows, :] = jnp.concatenate(
+                [rhi[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
+            )
+
+        for g in range(chunks):
+            flo, fhi = fwd_chunk(g)
+            inv_chunk(g, flo, fhi)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Entry points (contracts of the ops/ntt_mxu.py counterparts)
+# ---------------------------------------------------------------------------
+
+
+def _check_in(plan, values, what):
+    if plan.planes < 8:
+        check_range_u64(values, 1 << 56, 1, what)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def mxu8_fused_forward64(
+    plan: Mxu8NttPlan64, values: U64, out_factor: int = 1, tile: int = 16
+) -> U64:
+    """Byte-radix fused MXU forward NTT; contract of
+    :func:`ops.ntt_mxu.mxu_fused_forward64` (input any u64 < 2^56 for the
+    7-plane tier, any u64 for the 8-plane tier; bit-reversed output in
+    ``[0, out_factor*q)``)."""
+    _check_in(plan, values, "mxu8_fused_forward64 input")
+    n, A, B = plan.n, plan.A, plan.B
+    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
+    kernel = _make_fwd_kernel8(plan, out_factor, tile)
+    tabs = plan.tiled_tabs(tile)
+    olo, ohi = _natural_call(
+        kernel, len(tabs), A, B, plan.w1f, plan.w2f, tabs,
+        vlo.reshape(bp * A, B), vhi.reshape(bp * A, B), bp, tile,
+    )
+    olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    return U64(olo, ohi)
+
+
+def _inv_common8(plan, values, out_factor, tile, mul_tabs):
+    _check_in(plan, values, "mxu8 inverse input")
+    n, A, B = plan.n, plan.Ai, plan.Bi
+    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
+    tabs = plan.tiled_tabs_inv(tile) + tuple(mul_tabs)
+    if mul_tabs and mul_tabs[0].shape != (tile * A, B):
+        raise ValueError(
+            f"mul_tabs built for a different tile: have {mul_tabs[0].shape}, "
+            f"kernel needs {(tile * A, B)}"
+        )
+    kernel = _make_inv_kernel8(plan, out_factor, tile, mul=bool(mul_tabs))
+    olo, ohi = _natural_call(
+        kernel, len(tabs), A, B, plan.w1mf, plan.w2mf, tabs,
+        vlo.reshape(bp * A, B), vhi.reshape(bp * A, B), bp, tile,
+    )
+    olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    return U64(olo, ohi)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def mxu8_fused_inverse64(
+    plan: Mxu8NttPlan64, values: U64, out_factor: int = 1, tile: int = 16
+) -> U64:
+    """Byte-radix fused MXU inverse NTT (bit-reversed input, normal-order
+    output, ``inv_n`` folded into the pass-2 matrix)."""
+    return _inv_common8(plan, values, out_factor, tile, ())
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def mxu8_fused_inverse64_mul(
+    plan: Mxu8NttPlan64, values: U64, mul_tabs, out_factor: int = 1,
+    tile: int = 16,
+) -> U64:
+    """Fused pointwise-multiply + inverse NTT (``INTT(values * key)``)."""
+    return _inv_common8(plan, values, out_factor, tile, tuple(mul_tabs))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def mxu8_fused_roundtrip64_mul(
+    plan: Mxu8NttPlan64, values: U64, mul_tabs, out_factor: int = 1,
+    tile: int = 8,
+) -> U64:
+    """``INTT(NTT(values) * key)`` as ONE fused byte-radix kernel;
+    contract of :func:`ops.ntt_mxu.mxu_fused_roundtrip64_mul`."""
+    _check_in(plan, values, "mxu8_fused_roundtrip64_mul input")
+    n, A, B = plan.n, plan.A, plan.B
+    vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
+    tabs = plan.tiled_tabs(tile) + plan.tiled_tabs_inv(tile) + tuple(mul_tabs)
+    if mul_tabs and mul_tabs[0].shape != (tile * A, B):
+        raise ValueError(
+            f"mul_tabs built for a different tile: have "
+            f"{mul_tabs[0].shape}, kernel needs {(tile * A, B)}"
+        )
+    kernel = _make_rt_kernel8(plan, out_factor, tile)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    val_spec = pl.BlockSpec((tile * A, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    olo, ohi = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[
+            w_spec(plan.w1f.shape),
+            w_spec(plan.w2f.shape),
+            w_spec(plan.w1mf.shape),
+            w_spec(plan.w2mf.shape),
+        ]
+        + [w_spec(t.shape) for t in tabs]
+        + [val_spec] * 2,
+        out_specs=[val_spec] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((bp * A, B), jnp.uint32),
+            jax.ShapeDtypeStruct((bp * A, B), jnp.uint32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        plan.w1f, plan.w2f, plan.w1mf, plan.w2mf, *tabs,
+        vlo.reshape(bp * A, B), vhi.reshape(bp * A, B),
+    )
+    olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    return U64(olo, ohi)

@@ -1,0 +1,152 @@
+"""Byte-radix MXU NTT (ops/ntt_mxu8.py): differential tests vs golden.
+
+Same cross-backend discipline as tests/test_ntt_mxu.py
+(crates/primus_ntt/tests/ntt.rs pattern), now including the 60-bit tier
+the 7-bit-limb kernel cannot reach: golden prime 1152921504606830593
+(crates/primus_ntt/tests/ntt.rs / avx512 q < 2^62 range).
+"""
+
+import numpy as np
+import pytest
+
+from primus_fhe_tpu.golden.model import GoldenNtt
+from primus_fhe_tpu.numeric import from_u64_pair, to_u64_pair
+from primus_fhe_tpu.ops.ntt_mxu8 import (
+    Mxu8NttPlan64,
+    mxu8_fused_forward64,
+    mxu8_fused_inverse64,
+    mxu8_fused_inverse64_mul,
+    mxu8_fused_roundtrip64_mul,
+)
+
+# (log_n, q): Solinas 50-bit bench prime (7 planes), 30-bit (7 planes),
+# general non-Solinas prime (general-q paths), 60-bit Solinas golden
+# prime (8 planes), ~49-bit reference prime.
+PRIMES = [
+    (8, 1125899906826241),
+    (8, 536813569),
+    (7, 562949953392641),
+    (8, 1152921504606830593),
+    (7, 998244353),  # non-Solinas NTT prime (119*2^23+1): general-q path
+]
+
+
+def test_planes_selection():
+    assert Mxu8NttPlan64(6, 1125899906826241).planes == 7
+    assert Mxu8NttPlan64(6, 1152921504606830593).planes == 8
+    with pytest.raises(ValueError):
+        Mxu8NttPlan64(6, (1 << 61) + 9)
+
+
+@pytest.mark.parametrize("log_n,q", PRIMES)
+def test_mxu8_forward_matches_golden(log_n, q):
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(42 + log_n)
+    vals = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    out = from_u64_pair(mxu8_fused_forward64(plan, to_u64_pair(vals), 1, 2))
+    for row in range(vals.shape[0]):
+        expect = g.forward([int(x) for x in vals[row]])
+        assert [int(x) for x in out[row]] == expect, (q, row)
+
+
+@pytest.mark.parametrize("log_n,q", PRIMES)
+def test_mxu8_inverse_matches_golden(log_n, q):
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(13 + log_n)
+    vals = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    out = from_u64_pair(mxu8_fused_inverse64(plan, to_u64_pair(vals), 1, 2))
+    for row in range(vals.shape[0]):
+        expect = g.inverse([int(x) for x in vals[row]])
+        assert [int(x) for x in out[row]] == expect, (q, row)
+
+
+def test_mxu8_forward_lazy_ranges_and_input():
+    log_n, q = 8, 1125899906826241
+    n = 1 << log_n
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    v = to_u64_pair(vals)
+    canon = from_u64_pair(mxu8_fused_forward64(plan, v, 1, 2))
+    for f in (2, 4):
+        lazy = from_u64_pair(mxu8_fused_forward64(plan, v, f, 2))
+        assert (lazy < f * q).all()
+        assert ((lazy % q) == canon).all()
+    # lazy input representative (any u64 < 2^56 for the 7-plane tier)
+    shifted = to_u64_pair(vals + np.uint64(3 * q))
+    b = from_u64_pair(mxu8_fused_forward64(plan, shifted, 1, 2))
+    assert (b == canon).all()
+
+
+def test_mxu8_60bit_lazy_input():
+    """8-plane tier accepts any u64 representative."""
+    log_n, q = 7, 1152921504606830593
+    vals = np.random.default_rng(3).integers(0, q, size=(2, 1 << log_n), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    a = from_u64_pair(mxu8_fused_forward64(plan, to_u64_pair(vals), 1, 2))
+    shifted = to_u64_pair(vals + np.uint64(7 * q))  # still < 2^64
+    b = from_u64_pair(mxu8_fused_forward64(plan, shifted, 1, 2))
+    assert (a == b).all()
+
+
+@pytest.mark.parametrize(
+    "log_n,q",
+    [(8, 1125899906826241), (8, 1152921504606830593), (7, 998244353)],
+)
+def test_mxu8_fused_inverse_mul(log_n, q):
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, q, size=(3, n), dtype=np.uint64)
+    key = rng.integers(0, q, size=(n,), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    tile = 2
+    tabs = plan.inverse_mul_tabs(key, tile)
+    f = mxu8_fused_forward64(plan, to_u64_pair(vals), 4, tile)
+    got = from_u64_pair(mxu8_fused_inverse64_mul(plan, f, tabs, 1, tile))
+    for row in range(vals.shape[0]):
+        fwd = g.forward([int(x) for x in vals[row]])
+        prod = [fv * int(kv) % q for fv, kv in zip(fwd, key)]
+        expect = g.inverse(prod)
+        assert [int(x) for x in got[row]] == expect, (q, row)
+
+
+@pytest.mark.parametrize(
+    "log_n,q",
+    [(8, 1125899906826241), (8, 1152921504606830593), (7, 998244353)],
+)
+def test_mxu8_fused_roundtrip_mul(log_n, q):
+    """The single-kernel round trip == golden fwd -> pointwise -> inv."""
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, q, size=(4, n), dtype=np.uint64)
+    key = rng.integers(0, q, size=(n,), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    tile = 2
+    tabs = plan.inverse_mul_tabs(key, tile)
+    got = from_u64_pair(
+        mxu8_fused_roundtrip64_mul(plan, to_u64_pair(vals), tabs, 1, tile)
+    )
+    for row in range(vals.shape[0]):
+        fwd = g.forward([int(x) for x in vals[row]])
+        prod = [fv * int(kv) % q for fv, kv in zip(fwd, key)]
+        expect = g.inverse(prod)
+        assert [int(x) for x in got[row]] == expect, (q, row)
+
+
+def test_mxu8_headline_shape():
+    """log_n=12 lane-aligned default split, forward+inverse round trip."""
+    log_n, q = 12, 1125899906826241
+    n = 1 << log_n
+    rng = np.random.default_rng(37)
+    vals = rng.integers(0, q, size=(2, n), dtype=np.uint64)
+    plan = Mxu8NttPlan64(log_n, q)
+    assert plan.B % 128 == 0
+    f = mxu8_fused_forward64(plan, to_u64_pair(vals), 4, 2)
+    rt = from_u64_pair(mxu8_fused_inverse64(plan, f, 1, 2))
+    assert (rt == vals).all()
