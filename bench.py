@@ -38,7 +38,7 @@ def main():
     log_n = 12
     n = 1 << log_n
     q = 1125899906826241  # 50-bit reference bench prime (Solinas 2^50-2^14+1)
-    batch = 128
+    batch = 512
     tile = 16
 
     rng = np.random.default_rng(7)
@@ -54,6 +54,22 @@ def main():
     path = "jnp-xla"  # fallback chain's terminal tier
     if jax.default_backend() == "tpu":
         candidates = []
+        try:
+            from primus_fhe_tpu.ops.ntt_mxu8 import (
+                Mxu8NttPlan64,
+                mxu8_fused_roundtrip64_mul,
+            )
+
+            m8plan = Mxu8NttPlan64(log_n, q)
+            m8_tile = 32  # staged-phase sweet spot (scratch/probe_cs_r3.py)
+            m8tabs = m8plan.inverse_mul_tabs(key, m8_tile)
+
+            def mxu8_rt_step(v):
+                return mxu8_fused_roundtrip64_mul(m8plan, v, m8tabs, 1, m8_tile)
+
+            candidates.append(("mxu8-fused-rt", mxu8_rt_step))
+        except Exception as e:  # pragma: no cover - environment dependent
+            print(f"[bench] mxu8 plan unavailable ({e!r})", file=sys.stderr)
         try:
             from primus_fhe_tpu.ops.ntt_mxu import (
                 MxuNttPlan64,

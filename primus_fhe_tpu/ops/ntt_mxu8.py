@@ -376,11 +376,14 @@ def _finish8(q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc):
 
 
 def _chunking(tile: int, A: int):
-    cs = tile
-    for c in (4, 2, 1):
-        if tile % c == 0 and c * A >= 128 and c < tile:
-            cs = c
-            break
+    """Chunk size: wide matmuls (big cs) amortize MXU issue, but >= 2
+    chunks lets the staged phases co-issue one chunk's VPU tail under the
+    next chunk's matmul — the sweet spot on v5e is cs = tile/2 capped at
+    16 (sweeps in scratch/probe_cs_r3.py), floored at lane alignment."""
+    lo = max(1, -(-128 // A))
+    cs = max(min(tile // 2, 16), lo)
+    while tile % cs:
+        cs -= 1
     return cs, tile // cs
 
 
@@ -575,7 +578,11 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         ci1 = (ci1_t[0][:], ci1_t[1][:])
         ci2 = (ci2_t[0][:, : cs * B], ci2_t[1][:, : cs * B])
 
-        def fwd_chunk(g):
+        # Staged phases (one list entry per chunk): each phase's VPU tail
+        # for chunk g is program-order adjacent to chunk g+1's MXU dot, so
+        # Mosaic can co-issue vector work under the systolic-array pushes
+        # (a ~30% wall win over the strictly sequential per-chunk order).
+        def fwd_dot1(g):
             parts = []
             for p in range(g * cs, (g + 1) * cs):
                 sl = vlo_ref[p * A : (p + 1) * A, :]
@@ -584,7 +591,9 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
                 )
             x8 = jnp.concatenate(parts, axis=1)
-            o1 = _DOT(w1_ref[:], x8)
+            return _DOT(w1_ref[:], x8)
+
+        def fwd_dot2(g, o1):
             digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
             v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, bf1[2])
             lanes = slice(g * cs * B, (g + 1) * cs * B)
@@ -603,13 +612,22 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
                 )
             a2 = jnp.concatenate(parts, axis=0)
-            o2 = _DOT(a2, w2_ref[:])
+            return _DOT(a2, w2_ref[:])
+
+        def inv_dot1(g, o2):
             d2 = [o2[:, c * B : (c + 1) * B] for c in range(P)]
             v2l, v2h = _recombine_bytes(d2, plan.bias_f2, bf2[2])
-            # lazy NTT-domain output feeds the key multiply directly
-            return _finish8(q, sol, shoup, narrow, v2l, v2h, cf2, bf2, 4, qc)
-
-        def inv_chunk(g, flo, fhi):
+            # Lazy NTT-domain value feeds the key multiply directly.  The
+            # Shoup multiply accepts any u64 operand, so for Solinas q the
+            # mod-q representative from one fold (< 2^51 for the 50-bit
+            # tier, well inside u64) skips the _solinas_down ladder that
+            # the standalone forward kernel needs for its [0,4q) contract.
+            if sol:
+                flo, fhi = _add64(*_fold32(v2l, v2h, sol), *cf2)
+            else:
+                flo, fhi = _finish8(
+                    q, sol, shoup, narrow, v2l, v2h, cf2, bf2, 4, qc
+                )
             rows = slice(g * cs * A, (g + 1) * cs * A)
             m_t = [r[rows, :] for r in mul_refs]
             vlo, vhi = shoup(flo, fhi, *m_t, *qc)  # * key, < 4q
@@ -621,9 +639,12 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
                 )
             x8 = jnp.concatenate(parts, axis=0)
-            o1 = _DOT(x8, w1m_ref[:])
+            return _DOT(x8, w1m_ref[:])
+
+        def inv_dot2(g, o1):
             digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
             v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, bi1[2])
+            rows = slice(g * cs * A, (g + 1) * cs * A)
             t_t = [r[rows, :] for r in it8]
             t32 = [r[rows, :] for r in it32]
             ct = [r[rows, :] for r in ict]
@@ -638,12 +659,15 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
                 )
             a2 = jnp.concatenate(parts, axis=1)
-            o2 = _DOT(w2m_ref[:], a2)
+            return _DOT(w2m_ref[:], a2)
+
+        def finish_chunk(g, o2):
             d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
             v2l, v2h = _recombine_bytes(d2, plan.bias_i2, bi2[2])
             rlo, rhi = _finish8(
                 q, sol, shoup, narrow, v2l, v2h, ci2, bi2, out_factor, qc
             )
+            rows = slice(g * cs * A, (g + 1) * cs * A)
             olo_ref[rows, :] = jnp.concatenate(
                 [rlo[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
             )
@@ -651,9 +675,12 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                 [rhi[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
             )
 
-        for g in range(chunks):
-            flo, fhi = fwd_chunk(g)
-            inv_chunk(g, flo, fhi)
+        o1s = [fwd_dot1(g) for g in range(chunks)]
+        o2s = [fwd_dot2(g, o) for g, o in enumerate(o1s)]
+        i1s = [inv_dot1(g, o) for g, o in enumerate(o2s)]
+        i2s = [inv_dot2(g, o) for g, o in enumerate(i1s)]
+        for g, o in enumerate(i2s):
+            finish_chunk(g, o)
 
     return kernel
 
