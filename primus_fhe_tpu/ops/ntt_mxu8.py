@@ -179,9 +179,11 @@ class Mxu8NttPlan64:
         self.bias_i2 = _bias_for(P, A)
 
         # per-row corrections (canonical u64 pairs).  Row-indexed ones are
-        # stored as (R, 1) and lane-tiled at tab-build time (a lane dim of
-        # 1 has no legal Mosaic layout); lane-indexed ones stay (1, C)
-        # and broadcast over rows inside the kernel.
+        # stored lane-broadcast (R, B) (a lane dim of 1 has no legal
+        # Mosaic layout); lane-indexed ones stay (1, C) and broadcast
+        # over rows inside the kernel.  All twiddle/correction tables are
+        # UNTILED (A, B) content — the kernels apply them per poly block,
+        # so VMEM holds one copy regardless of tile.
         def row_tab(v):  # (R,) -> (R, B) lane-broadcast table
             return np.ascontiguousarray(
                 np.broadcast_to(v.reshape(-1, 1), (v.size, B))
@@ -218,9 +220,6 @@ class Mxu8NttPlan64:
         else:
             self.t32_tabs = self.tim32_tabs = None
             self.corrt_f = self.corrt_i = None
-        self._tiled: dict = {}
-        self._tiled_inv: dict = {}
-        self._tiled_ci2: dict = {}
 
     @staticmethod
     def _pair_tab(m) -> tuple[np.ndarray, np.ndarray]:
@@ -228,45 +227,33 @@ class Mxu8NttPlan64:
         hi = np.vectorize(lambda v: int(v) >> 32, otypes=[np.uint32])(m)
         return lo, hi
 
-    def _tile_cache(self, cache, tabs, tile, axis):
-        got = cache.get(tile)
-        if got is None:
-            reps = (1, tile) if axis == 1 else (tile, 1)
-            got = tuple(np.tile(np.asarray(t), reps) for t in tabs)
-            cache[tile] = got
-        return got
-
-    def tiled_tabs(self, tile: int):
-        """Forward tables: twiddle Shoup tabs (+2^32-scaled + corr*T for
-        general q) tiled ``(A, tile*B)``, then the pass-1 correction pair
-        lane-tiled ``(A, tile*B)`` and the pass-2 correction pair
-        ``(1, B)``."""
+    def tiled_tabs(self, tile: int = 0):
+        """Forward tables, untiled: twiddle Shoup tabs (+2^32-scaled +
+        corr*T for general q) ``(A, B)``, the pass-1 correction pair
+        ``(A, B)``, the pass-2 correction pair ``(1, B)``.  ``tile`` is
+        ignored (kept for call-site compatibility)."""
         if _mxu8_solinas(self.q):
             tabs = self.t_tabs + self.corr_f1
         else:
             tabs = self.t_tabs + self.t32_tabs + self.corrt_f + self.corr_f1
-        tiled = self._tile_cache(self._tiled, tabs, tile, axis=1)
-        return tiled + self.corr_f2
+        return tabs + self.corr_f2
 
-    def tiled_tabs_inv(self, tile: int):
-        """Mirrored-inverse tables: twiddle tabs tiled ``(tile*A, B)``,
-        pass-1 correction ``(1, B)``, pass-2 correction lane-tiled
-        ``(A, tile*B)``."""
+    def tiled_tabs_inv(self, tile: int = 0):
+        """Mirrored-inverse tables, untiled: twiddle tabs ``(A, B)``,
+        pass-1 correction ``(1, B)``, pass-2 correction ``(A, B)``."""
         if _mxu8_solinas(self.q):
             tabs = self.tim_tabs
         else:
             tabs = self.tim_tabs + self.tim32_tabs + self.corrt_i
-        tiled = self._tile_cache(self._tiled_inv, tabs, tile, axis=0)
-        ci2 = self._tile_cache(self._tiled_ci2, self.corr_i2, tile, axis=1)
-        return tiled + self.corr_i1 + ci2
+        return tabs + self.corr_i1 + self.corr_i2
 
-    def inverse_mul_tabs(self, key, tile: int):
-        """Shoup tables of a fixed NTT-domain operand in the mirrored
-        kernel's value layout ``(tile*A, B)`` (bit-reversed order)."""
+    def inverse_mul_tabs(self, key, tile: int = 0):
+        """Shoup tables of a fixed NTT-domain operand, untiled ``(A, B)``
+        (bit-reversed order); the kernels apply them per poly block.
+        ``tile`` is ignored (kept for call-site compatibility)."""
         m = np.asarray([int(v) for v in np.asarray(key).reshape(-1)], dtype=object)
         m = m.reshape(self.Ai, self.Bi)
-        tabs = _shoup_tabs(m, self.q)
-        return tuple(np.tile(t, (tile, 1)) for t in tabs)
+        return _shoup_tabs(m, self.q)
 
 
 # ---------------------------------------------------------------------------
@@ -316,11 +303,25 @@ def _recombine_bytes(digs, bias: int, smax: int):
     return _recombine_quad(ds[:4], smax), _recombine_quad(ds[4:], smax)
 
 
-def _fold32(vl, vh, sol):
+def _fold32(vl, vh, sol, high_bound: int | None = None):
     """``Ulow + 2^32 * Uhigh (mod q)`` for Solinas ``q = 2^a - 2^b + 1``
-    with ``a > 32`` — multiply-free (``2^a === 2^b - 1``)."""
+    with ``a > 32`` — multiply-free (``2^a === 2^b - 1``).
+
+    When the caller proves ``Uhigh < min(2^a, 2^(32+s))`` (true for every
+    recombined digit-sum half: < 2^50 at both tiers), the shifted part
+    ``vh1 = Uhigh >> s`` fits one u32 word and ``Ulow``'s high word can
+    absorb ``vh0`` carry-free, trimming the pair-op chains."""
     a, b = sol
     s = a - 32
+    if high_bound is not None and 0 < s < 32 and b < 32 and high_bound <= 1 << a:
+        vhlo, vhhi = vh
+        vh1 = (vhlo >> s) | (vhhi << (32 - s))  # single u32 word
+        vh0 = vhlo & ((1 << s) - 1)
+        tlo = vh1 << b
+        thi = vh1 >> (32 - b)
+        t = _sub64(tlo, thi, vh1, jnp.zeros_like(vh1))
+        # vl < 2^48 and vh0 < 2^s <= 2^31: the high-word add is carry-free
+        return _add64(vl[0], vl[1] + vh0, *t)
     vh1 = _shr64p(*vh, s)
     vh0 = _mask64p(*vh, s)
     t = _sub64(*_shl64(*vh1, b), *vh1)
@@ -342,12 +343,15 @@ def _u_bounds(bias: int, planes: int):
     return low, high, smax
 
 
-def _twiddle8(q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc):
+def _twiddle8(
+    q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc,
+    high_bound: int | None = None,
+):
     """Twiddle on biased halves: Solinas folds + corr-add + ONE Shoup
     (output < 4q); general q: two narrow Shoups (reduced once to < 4q) +
     precomputed corr*T add (output < 5q — fits the byte split range)."""
     if sol:
-        y = _fold32(v_lo, v_hi, sol)
+        y = _fold32(v_lo, v_hi, sol, high_bound)
         y = _add64(*y, *corr)
         return shoup(*y, *t_t, *qc)
     m1 = narrow(*v_lo, *t_t, *qc)
@@ -360,7 +364,7 @@ def _finish8(q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc):
     """Final fold of pass-2 halves + correction down to the output range."""
     low_b, high_b, _ = bounds
     if sol:
-        r = _fold32(v2l, v2h, sol)
+        r = _fold32(v2l, v2h, sol, high_b)
         r = _add64(*r, *corr)
         bound = _fold32_bound(low_b, high_b, sol) + q
         rlo, rhi = _solinas_down(r, bound, sol, q)
@@ -438,20 +442,21 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         def stage2(g, o1):
             digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
             v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, b1[2])
-            lanes = slice(g * cs * B, (g + 1) * cs * B)
-            t_t = [r[:, lanes] for r in t_t8]
-            t32 = [r[:, lanes] for r in t32_8]
-            ct = [r[:, lanes] for r in ct_2]
-            c1 = (c1_t[0][:, lanes], c1_t[1][:, lanes])
-            s2lo, s2hi = _twiddle8(
-                q, sol, shoup, narrow, v_lo, v_hi, c1, t_t, t32, ct, qc
-            )
+            t_t = [r[:] for r in t_t8]  # (A, B), applied per poly block
+            t32 = [r[:] for r in t32_8]
+            ct = [r[:] for r in ct_2]
+            c1 = (c1_t[0][:], c1_t[1][:])
             parts = []
             for p in range(cs):
-                sl = s2lo[:, p * B : (p + 1) * B]
-                sh = s2hi[:, p * B : (p + 1) * B]
+                lanes = slice(p * B, (p + 1) * B)
+                s2lo, s2hi = _twiddle8(
+                    q, sol, shoup, narrow,
+                    (v_lo[0][:, lanes], v_lo[1][:, lanes]),
+                    (v_hi[0][:, lanes], v_hi[1][:, lanes]),
+                    c1, t_t, t32, ct, qc, b1[1],
+                )
                 parts.append(
-                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                    jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=1)
                 )
             a2 = jnp.concatenate(parts, axis=0)  # (cs*A, PB)
             return _DOT(a2, w2_ref[:])  # cols (c, r1)
@@ -490,21 +495,20 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
         vlo_ref, vhi_ref, olo_ref, ohi_ref = rest[nt : nt + 4]
         qc = _const64(q)
         c1 = (ci1_t[0][:], ci1_t[1][:])  # (1, B): broadcasts over rows
-        c2 = (ci2_t[0][:, : cs * B], ci2_t[1][:, : cs * B])
+        c2 = (ci2_t[0][:], ci2_t[1][:])  # (A, B), applied per poly block
 
         def stage1(g):
-            rows = slice(g * cs * A, (g + 1) * cs * A)
-            vlo = vlo_ref[rows, :]
-            vhi = vhi_ref[rows, :]
             if mul:
-                m_t = [r[rows, :] for r in mul_refs]
-                vlo, vhi = shoup(vlo, vhi, *m_t, *qc)
+                m_t = [r[:] for r in mul_refs]  # (A, B) per poly block
             parts = []
-            for p in range(cs):
-                sl = vlo[p * A : (p + 1) * A, :]
-                sh = vhi[p * A : (p + 1) * A, :]
+            for p in range(g * cs, (g + 1) * cs):
+                rows = slice(p * A, (p + 1) * A)
+                vlo = vlo_ref[rows, :]
+                vhi = vhi_ref[rows, :]
+                if mul:
+                    vlo, vhi = shoup(vlo, vhi, *m_t, *qc)
                 parts.append(
-                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                    jnp.concatenate(_split_bytes_list(vlo, vhi, P), axis=1)
                 )
             x8 = jnp.concatenate(parts, axis=0)  # (cs*A, PB)
             return _DOT(x8, w1m_ref[:])  # cols (c, k0)
@@ -512,19 +516,20 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
         def stage2(g, o1):
             digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
             v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, b1[2])
-            rows = slice(g * cs * A, (g + 1) * cs * A)
-            t_t = [r[rows, :] for r in t_t8]
-            t32 = [r[rows, :] for r in t32_8]
-            ct = [r[rows, :] for r in ct_2]
-            s2lo, s2hi = _twiddle8(
-                q, sol, shoup, narrow, v_lo, v_hi, c1, t_t, t32, ct, qc
-            )
+            t_t = [r[:] for r in t_t8]  # (A, B) per poly block
+            t32 = [r[:] for r in t32_8]
+            ct = [r[:] for r in ct_2]
             parts = []
             for p in range(cs):
-                sl = s2lo[p * A : (p + 1) * A, :]
-                sh = s2hi[p * A : (p + 1) * A, :]
+                rows = slice(p * A, (p + 1) * A)
+                s2lo, s2hi = _twiddle8(
+                    q, sol, shoup, narrow,
+                    (v_lo[0][rows, :], v_lo[1][rows, :]),
+                    (v_hi[0][rows, :], v_hi[1][rows, :]),
+                    c1, t_t, t32, ct, qc, b1[1],
+                )
                 parts.append(
-                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
+                    jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
                 )
             a2 = jnp.concatenate(parts, axis=1)  # (PA, cs*B)
             return _DOT(w2m_ref[:], a2)  # rows (c, k1)
@@ -532,16 +537,20 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
         def stage3(g, o2):
             d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
             v2l, v2h = _recombine_bytes(d2, plan.bias_i2, b2[2])
-            rlo, rhi = _finish8(
-                q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc
-            )
             rows = slice(g * cs * A, (g + 1) * cs * A)
-            olo_ref[rows, :] = jnp.concatenate(
-                [rlo[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
-            )
-            ohi_ref[rows, :] = jnp.concatenate(
-                [rhi[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
-            )
+            los, his = [], []
+            for p in range(cs):
+                lanes = slice(p * B, (p + 1) * B)
+                rlo, rhi = _finish8(
+                    q, sol, shoup, narrow,
+                    (v2l[0][:, lanes], v2l[1][:, lanes]),
+                    (v2h[0][:, lanes], v2h[1][:, lanes]),
+                    c2, b2, out_factor, qc,
+                )
+                los.append(rlo)
+                his.append(rhi)
+            olo_ref[rows, :] = jnp.concatenate(los, axis=0)
+            ohi_ref[rows, :] = jnp.concatenate(his, axis=0)
 
         o1s = [stage1(g) for g in range(chunks)]
         o2s = [stage2(g, o1) for g, o1 in enumerate(o1s)]
@@ -576,12 +585,14 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         qc = _const64(q)
         cf2 = (cf2_t[0][:], cf2_t[1][:])
         ci1 = (ci1_t[0][:], ci1_t[1][:])
-        ci2 = (ci2_t[0][:, : cs * B], ci2_t[1][:, : cs * B])
+        ci2 = (ci2_t[0][:], ci2_t[1][:])  # (A, B), applied per poly block
 
         # Staged phases (one list entry per chunk): each phase's VPU tail
         # for chunk g is program-order adjacent to chunk g+1's MXU dot, so
         # Mosaic can co-issue vector work under the systolic-array pushes
         # (a ~30% wall win over the strictly sequential per-chunk order).
+        # Twiddle/correction/key tables are untiled (A, B) applied per
+        # poly block — one VMEM copy regardless of tile.
         def fwd_dot1(g):
             parts = []
             for p in range(g * cs, (g + 1) * cs):
@@ -596,20 +607,21 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         def fwd_dot2(g, o1):
             digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
             v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, bf1[2])
-            lanes = slice(g * cs * B, (g + 1) * cs * B)
-            t_t = [r[:, lanes] for r in ft8]
-            t32 = [r[:, lanes] for r in ft32]
-            ct = [r[:, lanes] for r in fct]
-            cf1 = (cf1_t[0][:, lanes], cf1_t[1][:, lanes])
-            s2lo, s2hi = _twiddle8(
-                q, sol, shoup, narrow, v_lo, v_hi, cf1, t_t, t32, ct, qc
-            )
+            t_t = [r[:] for r in ft8]
+            t32 = [r[:] for r in ft32]
+            ct = [r[:] for r in fct]
+            cf1 = (cf1_t[0][:], cf1_t[1][:])
             parts = []
             for p in range(cs):
-                sl = s2lo[:, p * B : (p + 1) * B]
-                sh = s2hi[:, p * B : (p + 1) * B]
+                lanes = slice(p * B, (p + 1) * B)
+                s2lo, s2hi = _twiddle8(
+                    q, sol, shoup, narrow,
+                    (v_lo[0][:, lanes], v_lo[1][:, lanes]),
+                    (v_hi[0][:, lanes], v_hi[1][:, lanes]),
+                    cf1, t_t, t32, ct, qc, bf1[1],
+                )
                 parts.append(
-                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                    jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=1)
                 )
             a2 = jnp.concatenate(parts, axis=0)
             return _DOT(a2, w2_ref[:])
@@ -617,26 +629,29 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         def inv_dot1(g, o2):
             d2 = [o2[:, c * B : (c + 1) * B] for c in range(P)]
             v2l, v2h = _recombine_bytes(d2, plan.bias_f2, bf2[2])
-            # Lazy NTT-domain value feeds the key multiply directly.  The
-            # Shoup multiply accepts any u64 operand, so for Solinas q the
-            # mod-q representative from one fold (< 2^51 for the 50-bit
-            # tier, well inside u64) skips the _solinas_down ladder that
-            # the standalone forward kernel needs for its [0,4q) contract.
-            if sol:
-                flo, fhi = _add64(*_fold32(v2l, v2h, sol), *cf2)
-            else:
-                flo, fhi = _finish8(
-                    q, sol, shoup, narrow, v2l, v2h, cf2, bf2, 4, qc
-                )
-            rows = slice(g * cs * A, (g + 1) * cs * A)
-            m_t = [r[rows, :] for r in mul_refs]
-            vlo, vhi = shoup(flo, fhi, *m_t, *qc)  # * key, < 4q
+            m_t = [r[:] for r in mul_refs]  # (A, B) per poly block
             parts = []
             for p in range(cs):
-                sl = vlo[p * A : (p + 1) * A, :]
-                sh = vhi[p * A : (p + 1) * A, :]
+                rows = slice(p * A, (p + 1) * A)
+                v2lb = (v2l[0][rows, :], v2l[1][rows, :])
+                v2hb = (v2h[0][rows, :], v2h[1][rows, :])
+                # Lazy NTT-domain value feeds the key multiply directly.
+                # The Shoup multiply accepts any u64 operand, so for
+                # Solinas q the mod-q representative from one fold
+                # (< 2^51 for the 50-bit tier) skips the _solinas_down
+                # ladder the standalone forward kernel needs for its
+                # [0,4q) contract.
+                if sol:
+                    flo, fhi = _add64(
+                        *_fold32(v2lb, v2hb, sol, bf2[1]), *cf2
+                    )
+                else:
+                    flo, fhi = _finish8(
+                        q, sol, shoup, narrow, v2lb, v2hb, cf2, bf2, 4, qc
+                    )
+                vlo, vhi = shoup(flo, fhi, *m_t, *qc)  # * key, < 4q
                 parts.append(
-                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=1)
+                    jnp.concatenate(_split_bytes_list(vlo, vhi, P), axis=1)
                 )
             x8 = jnp.concatenate(parts, axis=0)
             return _DOT(x8, w1m_ref[:])
@@ -644,19 +659,20 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         def inv_dot2(g, o1):
             digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
             v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, bi1[2])
-            rows = slice(g * cs * A, (g + 1) * cs * A)
-            t_t = [r[rows, :] for r in it8]
-            t32 = [r[rows, :] for r in it32]
-            ct = [r[rows, :] for r in ict]
-            s2lo, s2hi = _twiddle8(
-                q, sol, shoup, narrow, v_lo, v_hi, ci1, t_t, t32, ct, qc
-            )
+            t_t = [r[:] for r in it8]
+            t32 = [r[:] for r in it32]
+            ct = [r[:] for r in ict]
             parts = []
             for p in range(cs):
-                sl = s2lo[p * A : (p + 1) * A, :]
-                sh = s2hi[p * A : (p + 1) * A, :]
+                rows = slice(p * A, (p + 1) * A)
+                s2lo, s2hi = _twiddle8(
+                    q, sol, shoup, narrow,
+                    (v_lo[0][rows, :], v_lo[1][rows, :]),
+                    (v_hi[0][rows, :], v_hi[1][rows, :]),
+                    ci1, t_t, t32, ct, qc, bi1[1],
+                )
                 parts.append(
-                    jnp.concatenate(_split_bytes_list(sl, sh, P), axis=0)
+                    jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
                 )
             a2 = jnp.concatenate(parts, axis=1)
             return _DOT(w2m_ref[:], a2)
@@ -664,16 +680,20 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
         def finish_chunk(g, o2):
             d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
             v2l, v2h = _recombine_bytes(d2, plan.bias_i2, bi2[2])
-            rlo, rhi = _finish8(
-                q, sol, shoup, narrow, v2l, v2h, ci2, bi2, out_factor, qc
-            )
             rows = slice(g * cs * A, (g + 1) * cs * A)
-            olo_ref[rows, :] = jnp.concatenate(
-                [rlo[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
-            )
-            ohi_ref[rows, :] = jnp.concatenate(
-                [rhi[:, p * B : (p + 1) * B] for p in range(cs)], axis=0
-            )
+            los, his = [], []
+            for p in range(cs):
+                lanes = slice(p * B, (p + 1) * B)
+                rlo, rhi = _finish8(
+                    q, sol, shoup, narrow,
+                    (v2l[0][:, lanes], v2l[1][:, lanes]),
+                    (v2h[0][:, lanes], v2h[1][:, lanes]),
+                    ci2, bi2, out_factor, qc,
+                )
+                los.append(rlo)
+                his.append(rhi)
+            olo_ref[rows, :] = jnp.concatenate(los, axis=0)
+            ohi_ref[rows, :] = jnp.concatenate(his, axis=0)
 
         o1s = [fwd_dot1(g) for g in range(chunks)]
         o2s = [fwd_dot2(g, o) for g, o in enumerate(o1s)]
@@ -722,10 +742,10 @@ def _inv_common8(plan, values, out_factor, tile, mul_tabs):
     n, A, B = plan.n, plan.Ai, plan.Bi
     vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
     tabs = plan.tiled_tabs_inv(tile) + tuple(mul_tabs)
-    if mul_tabs and mul_tabs[0].shape != (tile * A, B):
+    if mul_tabs and mul_tabs[0].shape != (A, B):
         raise ValueError(
-            f"mul_tabs built for a different tile: have {mul_tabs[0].shape}, "
-            f"kernel needs {(tile * A, B)}"
+            f"mul_tabs have shape {mul_tabs[0].shape}, kernel needs the "
+            f"untiled {(A, B)}"
         )
     kernel = _make_inv_kernel8(plan, out_factor, tile, mul=bool(mul_tabs))
     olo, ohi = _natural_call(
@@ -766,10 +786,10 @@ def mxu8_fused_roundtrip64_mul(
     n, A, B = plan.n, plan.A, plan.B
     vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)
     tabs = plan.tiled_tabs(tile) + plan.tiled_tabs_inv(tile) + tuple(mul_tabs)
-    if mul_tabs and mul_tabs[0].shape != (tile * A, B):
+    if mul_tabs and mul_tabs[0].shape != (A, B):
         raise ValueError(
-            f"mul_tabs built for a different tile: have "
-            f"{mul_tabs[0].shape}, kernel needs {(tile * A, B)}"
+            f"mul_tabs have shape {mul_tabs[0].shape}, kernel needs the "
+            f"untiled {(A, B)}"
         )
     kernel = _make_rt_kernel8(plan, out_factor, tile)
     from jax.experimental import pallas as pl
