@@ -153,7 +153,15 @@ class Mxu8NttPlan64:
         self.n = n = 1 << log_n
         self.q = q
         if h1 is None:
-            h1 = log_n - max(7, -(-log_n // 2)) if log_n >= 10 else (log_n + 1) // 2
+            # lane-aligned default: B = 2^(log_n - h1) >= 128, so the MXU
+            # tier covers log_n >= 8 (A as small as 2 for n=256 — pass-2,
+            # the dominant matmul, stays at full lane efficiency)
+            if log_n >= 10:
+                h1 = log_n - max(7, -(-log_n // 2))
+            elif log_n >= 8:
+                h1 = log_n - 7
+            else:
+                h1 = (log_n + 1) // 2
         if not 0 <= h1 <= log_n:
             raise ValueError(f"h1 must be in [0, {log_n}], got {h1}")
         self.A = A = 1 << h1

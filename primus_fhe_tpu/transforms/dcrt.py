@@ -347,31 +347,34 @@ def _pallas_plan64(log_n: int, q: int):
 
 @_functools.lru_cache(maxsize=None)
 def _mxu_plan64(log_n: int, q: int):
-    from ..ops.ntt_mxu import MxuNttPlan64
+    from ..ops.ntt_mxu8 import Mxu8NttPlan64
 
-    return MxuNttPlan64(log_n, q)
+    return Mxu8NttPlan64(log_n, q)
 
 
-def _mxu_ok(log_n: int, q: int) -> bool:
-    # fused MXU tier: 8-limb bound + lane-aligned default split
-    return q < (1 << 53) and log_n >= 10
+def _mxu_ok(log_n: int, q: int, out_factor: int = 4) -> bool:
+    """Byte-radix MXU tier: q < 2^61 (8 planes; 7 planes when q < 2^53,
+    which also caps lazy inputs at 2^56 — out_factor*q <= 4q < 2^55 fits)
+    and a lane-aligned split (B = 128 needs log_n >= 8)."""
+    return q < (1 << 61) and log_n >= 8
 
 
 def dcrt_forward64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
     """DCRT forward that routes each modulus through the fastest fused
-    kernel on TPU — the int8 MXU four-step (ops/ntt_mxu.py) where the
+    kernel on TPU — the byte-radix int8 MXU four-step (ops/ntt_mxu8.py,
+    q < 2^61 incl. the reference's 60-bit golden prime) where the
     modulus/shape allow, else the fused VPU butterfly (ops/ntt_pallas.py);
     a single custom call per modulus keeps enclosing scan graphs small.
     XLA-staged path elsewhere."""
     if jax.default_backend() == "tpu" and plan.moduli:
-        from ..ops.ntt_mxu import mxu_fused_forward64
+        from ..ops.ntt_mxu8 import mxu8_fused_forward64
         from ..ops.ntt_pallas import pallas_forward64
 
         outs = []
         for i, q in enumerate(plan.moduli):
             v = U64(values.lo[i], values.hi[i])
             if _mxu_ok(plan.log_n, q):
-                outs.append(mxu_fused_forward64(_mxu_plan64(plan.log_n, q), v, out_factor))
+                outs.append(mxu8_fused_forward64(_mxu_plan64(plan.log_n, q), v, out_factor))
             else:
                 outs.append(pallas_forward64(_pallas_plan64(plan.log_n, q), v, out_factor))
         return U64(
@@ -382,14 +385,14 @@ def dcrt_forward64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U
 
 def dcrt_inverse64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
     if jax.default_backend() == "tpu" and plan.moduli:
-        from ..ops.ntt_mxu import mxu_fused_inverse64
+        from ..ops.ntt_mxu8 import mxu8_fused_inverse64
         from ..ops.ntt_pallas import pallas_inverse64
 
         outs = []
         for i, q in enumerate(plan.moduli):
             v = U64(values.lo[i], values.hi[i])
             if _mxu_ok(plan.log_n, q):
-                outs.append(mxu_fused_inverse64(_mxu_plan64(plan.log_n, q), v, out_factor))
+                outs.append(mxu8_fused_inverse64(_mxu_plan64(plan.log_n, q), v, out_factor))
             else:
                 outs.append(pallas_inverse64(_pallas_plan64(plan.log_n, q), v, out_factor))
         return U64(
