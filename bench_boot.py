@@ -81,15 +81,15 @@ def main():
         _ = float(jnp.sum(out, dtype=jnp.uint32))
         return time.perf_counter() - t0
 
+    # min-per-size difference: robust to one-sided tunnel hiccups (a slow
+    # r1 run would otherwise collapse a paired difference to the floor)
     r1, r2 = 2, 10
     _ = run_reps(r1)  # warm
-    best = None
+    tas, tbs = [], []
     for _i in range(3):
-        ta = run_reps(r1)
-        tb = run_reps(r2)
-        d = max(tb - ta, 1e-9)
-        best = d if best is None else min(best, d)
-    dt = best / (r2 - r1)
+        tas.append(run_reps(r1))
+        tbs.append(run_reps(r2))
+    dt = max(min(tbs) - min(tas), 1e-9) / (r2 - r1)
     rate = BATCH / dt
 
     # correctness: decrypted phases must carry the input signs
@@ -113,9 +113,69 @@ def main():
         "sign_check": "ok",
     }
     print(json.dumps(record))
+
+    # --- NTRU (NGS/FINAL) blind rotation: ms per CMux step ---------------
+    from primus_fhe_tpu.boot import ntru_blind_rotate as nb
+    from primus_fhe_tpu.utils.primes import next_ntt_prime
+
+    NT_LOG_N = int(os.environ.get("NTRU_LOG_N", 10))
+    NT_N = 1 << NT_LOG_N
+    NT_Q = next_ntt_prime(30, NT_LOG_N)
+    NT_L = int(os.environ.get("NTRU_LEVEL", 3))
+    NT_NLWE = int(os.environ.get("NTRU_NLWE", 512))
+    NT_BATCH = int(os.environ.get("NTRU_BATCH", 16))
+
+    ctx = nb.NtruContext(NT_LOG_N, NT_Q, 10, NT_L)
+    kk = jax.random.split(jax.random.PRNGKey(5), 3)
+    sk = nb.ntru_keygen(kk[0], ctx)
+    nt_secret = (jax.random.bits(kk[1], (NT_NLWE,), dtype=jnp.uint32) & 1).astype(
+        jnp.uint32
+    )
+    evk = nb.make_ntru_bootstrap_key(kk[2], ctx, sk, nt_secret, gauss)
+    test_poly = nb.ntru_test_polynomial(NT_N, NT_Q, ctx.delta)
+    rng = np.random.default_rng(11)
+    lwe = jnp.asarray(
+        rng.integers(0, 2 * NT_N, size=(NT_BATCH, NT_NLWE + 1), dtype=np.int64)
+    ).astype(jnp.int32)
+
+    nt_run = jax.jit(lambda c: nb.ntru_blind_rotate(ctx, evk, c, test_poly))
+    _ = jax.block_until_ready(nt_run(lwe))
+
+    def nt_reps(r):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(r):
+            out = nt_run(lwe)
+        _ = float(jnp.sum(out, dtype=jnp.uint32))
+        return time.perf_counter() - t0
+
+    tas, tbs = [], []
+    for _i in range(3):
+        tas.append(nt_reps(r1))
+        tbs.append(nt_reps(r2))
+    nt_dt = max(min(tbs) - min(tas), 1e-9) / (r2 - r1)
+    ms_per_cmux = nt_dt / (NT_BATCH * NT_NLWE) * 1e3
+    nt_record = {
+        "metric": (
+            f"NTRU blind-rotate CMux (N={NT_N}, q=2^30 tier, L={NT_L}, "
+            f"n_lwe={NT_NLWE}, batch={NT_BATCH})"
+        ),
+        "value": ms_per_cmux,
+        "unit": "ms/CMux",
+        "rotations_per_s": NT_BATCH / nt_dt,
+        "platform": jax.devices()[0].platform,
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(nt_record))
+    print(
+        f"[bench_boot] ntru blind rotate: {nt_dt*1e3:.1f}ms/batch, "
+        f"{ms_per_cmux*1e3:.2f}us/CMux",
+        file=sys.stderr,
+    )
+
     rnd = os.environ.get("PRIMUS_ROUND", "03")
     with open(f"BENCH_BOOT_r{rnd}.json", "w") as f:
-        json.dump(record, f, indent=1)
+        json.dump([record, nt_record], f, indent=1)
 
 
 if __name__ == "__main__":

@@ -48,7 +48,7 @@ from ..modular.modops import (
     sub32,
 )
 from ..modular.modulus import BarrettModulus32, barrett32
-from ..transforms.ntt import forward32, inverse32, monomial32
+from ..transforms.ntt import forward32, inverse32
 from ..transforms.plan import build_plan32
 
 _U32 = jnp.uint32
@@ -76,6 +76,19 @@ class NtruContext:
     @property
     def n(self) -> int:
         return self.plan.n
+
+    @property
+    def pallas_plan(self):
+        """Fused VPU butterfly plan (ops/ntt_pallas.py), built lazily —
+        the NTRU fast tier on TPU."""
+        got = getattr(self, "_pallas_plan", None)
+        if got is None:
+            from ..ops.ntt_pallas import PallasNttPlan32
+
+            got = self._pallas_plan = PallasNttPlan32(
+                self.plan.log_n, self.q_int
+            )
+        return got
 
 
 def make_ntru_context(log_n: int, q: int, log_basis: int, level: int) -> NtruContext:
@@ -182,6 +195,28 @@ def make_ntru_bootstrap_key(key, ctx: NtruContext, sk: NtruSecret, lwe_secret, g
 # ---------------------------------------------------------------------------
 
 
+def _ntt_fwd(ctx: NtruContext, v):
+    """Forward NTT on the fastest available tier: the fused Pallas VPU
+    butterfly kernel on TPU (ops/ntt_pallas.py, one custom call), the
+    XLA-staged butterfly elsewhere.  Batch dims are flattened for the
+    kernel's 2D layout."""
+    if jax.default_backend() == "tpu" and ctx.n >= 128:
+        from ..ops.ntt_pallas import pallas_forward32
+
+        flat = v.reshape(-1, ctx.n)
+        return pallas_forward32(ctx.pallas_plan, flat, 1, 16).reshape(v.shape)
+    return forward32(ctx.plan, v)
+
+
+def _ntt_inv(ctx: NtruContext, v):
+    if jax.default_backend() == "tpu" and ctx.n >= 128:
+        from ..ops.ntt_pallas import pallas_inverse32
+
+        flat = v.reshape(-1, ctx.n)
+        return pallas_inverse32(ctx.pallas_plan, flat, 1, 16).reshape(v.shape)
+    return inverse32(ctx.plan, v)
+
+
 def _external_product_ntt(ctx: NtruContext, basis, acc, evk_ntt_i):
     """NTT-domain ``acc ⊠ EVK_i``: decompose → NTT → MAC.
 
@@ -194,7 +229,7 @@ def _external_product_ntt(ctx: NtruContext, basis, acc, evk_ntt_i):
     """
     level = basis.decompose_length
     digits = basis.decompose(acc)  # (L, ..., N) canonical mod q
-    f = forward32(ctx.plan, digits)  # (L, ..., N) canonical
+    f = _ntt_fwd(ctx, digits)  # (L, ..., N) canonical
     acc_sum = None
     pending = 0
     for l in range(level):
@@ -243,8 +278,13 @@ def ntru_blind_rotate(ctx: NtruContext, evk_ntt, lwe_switched, test_poly):
     int32 mod 2N; ``test_poly``: ``(N,)`` mod q (typically ``Δ·v``).
 
     ``acc = v·X^{-b}``; per mask element
-    ``acc ← acc + INTT(NTT-MAC(acc ⊠ EVK_i) ⊙ (ψ-mono(a_i) − 1))``
-    — the ``(X^{a_i} − 1)`` factor rides the NTT domain for free.
+    ``acc ← acc + rot(INTT(acc ⊠ EVK_i), a_i) − INTT(acc ⊠ EVK_i)``
+    — the ``(X^{a_i} − 1)`` factor is applied as a coefficient-domain
+    conditional-roll rotation AFTER the inverse NTT.  The NTT-domain
+    monomial multiply (``ψ-mono(a_i) − 1``) is mathematically free but
+    its data-dependent minor-axis gather costs ~15x the rest of the step
+    on TPU (scratch/probe_ntru_r3.py: 8.5 → 0.57 us/acc); the bit-chain
+    rolls are the TPU-native form of the same rotation.
     """
     n_lwe = evk_ntt.shape[0]
     n = ctx.n
@@ -257,14 +297,11 @@ def ntru_blind_rotate(ctx: NtruContext, evk_ntt, lwe_switched, test_poly):
     def body(acc, x):
         a_i, evk_i = x
         ep = _external_product_ntt(ctx, basis, acc, evk_i)  # NTT domain
-        mono = monomial32(ctx.plan, a_i)  # (..., N) via broadcasting degree
-        factor = sub32(mono, jnp.ones_like(mono), ctx.m.value)
-        delta = inverse32(ctx.plan, lazy_mul32(ep, factor, ctx.m))
-        return add32(acc, delta, ctx.m.value), None
+        delta = _ntt_inv(ctx, ep)
+        rot = rotate_poly_q(delta, a_i, n, ctx.m.value)
+        return add32(acc, sub32(rot, delta, ctx.m.value), ctx.m.value), None
 
     a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)  # (n_lwe, ...)
-    if batch:
-        a_t = a_t[..., None]  # broadcast degree over the coefficient axis
     acc, _ = jax.lax.scan(body, acc, (a_t, evk_ntt))
     return acc
 
