@@ -249,25 +249,11 @@ def _external_product_ntt(ctx: NtruContext, basis, acc, evk_ntt_i):
 
 
 def rotate_poly_q(poly, degree, n: int, q):
-    """``poly * X^degree`` mod ``(X^N + 1, q)`` — conditional static rolls.
+    """``poly * X^degree`` mod ``(X^N + 1, q)`` — conditional static
+    rolls (shared bit-chain rotation, `poly.poly.poly_rotate32`)."""
+    from ..poly.poly import poly_rotate32
 
-    Same bit-chain strategy as the torus path (`boot/blind_rotate._rotate_glwe`):
-    one static negacyclic shift + select per bit of ``degree mod 2N``; the
-    wrap negation is mod-q (``X^N = -1``).  ``degree`` broadcasts against
-    ``poly.shape[:-1]``.
-    """
-    d = jnp.asarray(degree, jnp.int32) % (2 * n)
-    v = poly
-    for b in range(n.bit_length()):
-        k = 1 << b
-        if k == n:
-            rolled = neg32(v, q)
-        else:
-            head = neg32(v[..., n - k :], q)
-            rolled = jnp.concatenate([head, v[..., : n - k]], axis=-1)
-        take = ((d >> b) & 1)[..., None] == 1
-        v = jnp.where(take, rolled, v)
-    return v
+    return poly_rotate32(poly, degree, q)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

@@ -79,14 +79,33 @@ def extract_lwe32(rlwe, q):
     )
 
 
-def extract_lwe_with_index32(rlwe, index: int, q):
-    """Extracts the LWE sample of coefficient ``index`` (static index)."""
+def extract_lwe_with_index32(rlwe, index, q):
+    """Extracts the LWE sample of coefficient ``index``
+    (coeff.rs:194-229).
+
+    ``index`` may be a Python int (static slicing, one program per index)
+    or a TRACED value (runtime index, ONE compiled program — matching the
+    reference's runtime-``index`` signature).  The traced path uses the
+    identity ``extract_i(a, b) = extract_0(a*X^{-i}, b*X^{-i})``: the
+    negacyclic rotation runs as bit-chain conditional static rolls, the
+    same machinery as the blind-rotation accumulator
+    (`boot/blind_rotate._rotate_glwe`), never a data-dependent gather.
+    ``index`` broadcasts against the batch dims."""
     a = rlwe[..., 0, :]
     b = rlwe[..., 1, :]
-    n = a.shape[-1]
-    head = a[..., : index + 1][..., ::-1]
-    tail = modops.neg32(a[..., index + 1 :][..., ::-1], q)
-    return jnp.concatenate([head, tail, b[..., index : index + 1]], axis=-1)
+    if isinstance(index, int):
+        head = a[..., : index + 1][..., ::-1]
+        tail = modops.neg32(a[..., index + 1 :][..., ::-1], q)
+        return jnp.concatenate(
+            [head, tail, b[..., index : index + 1]], axis=-1
+        )
+    from ..poly.poly import poly_rotate32
+
+    d = -jnp.asarray(index, jnp.int32)
+    ar = poly_rotate32(a, d, q)
+    br = poly_rotate32(b, d, q)
+    tail = modops.neg32(ar[..., 1:][..., ::-1], q)
+    return jnp.concatenate([ar[..., :1], tail, br[..., :1]], axis=-1)
 
 
 def extract_first_few_lwe32(rlwe, count: int, q):

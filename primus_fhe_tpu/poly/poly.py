@@ -62,6 +62,47 @@ def poly_mul_monomial32(a, degree, q):
     return jnp.where(neg, modops.neg32(g, q), g)
 
 
+def poly_rotate32(a, degree, q):
+    """``a * X^degree`` with traced ``degree`` via bit-chain conditional
+    static rolls — the TPU-native form of the negacyclic rotation (one
+    static slice+select per bit of ``degree mod 2n``; data-dependent
+    minor-axis gathers are ~10x slower on TPU).  ``degree`` broadcasts
+    against ``a.shape[:-1]``."""
+    n = a.shape[-1]
+    d = jnp.asarray(degree, jnp.int32) % (2 * n)
+    v = a
+    for b in range(n.bit_length()):
+        k = 1 << b
+        if k == n:
+            rolled = modops.neg32(v, q)
+        else:
+            head = modops.neg32(v[..., n - k :], q)
+            rolled = jnp.concatenate([head, v[..., : n - k]], axis=-1)
+        take = ((d >> b) & 1)[..., None] == 1
+        v = jnp.where(take, rolled, v)
+    return v
+
+
+def poly_rotate64(a: U64, degree, q: U64) -> U64:
+    """U64-pair counterpart of :func:`poly_rotate32`."""
+    n = a.lo.shape[-1]
+    d = jnp.asarray(degree, jnp.int32) % (2 * n)
+    v = a
+    for b in range(n.bit_length()):
+        k = 1 << b
+        if k == n:
+            rolled = modops.neg64(v, q)
+        else:
+            head = modops.neg64(U64(v.lo[..., n - k :], v.hi[..., n - k :]), q)
+            rolled = U64(
+                jnp.concatenate([head.lo, v.lo[..., : n - k]], axis=-1),
+                jnp.concatenate([head.hi, v.hi[..., : n - k]], axis=-1),
+            )
+        take = ((d >> b) & 1)[..., None] == 1
+        v = u64_select(take, rolled, v)
+    return v
+
+
 def poly_evaluate32(a, x, m):
     """Horner evaluation at ``x`` (poly/mul.rs:125-148)."""
     acc = jnp.zeros(a.shape[:-1], dtype=_U32)

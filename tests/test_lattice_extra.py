@@ -232,6 +232,34 @@ def test_extract_lwe_prime_q():
     assert mm.shape == (N + 4,)
 
 
+def test_extract_lwe_traced_index_matches_static():
+    """Traced-index extraction (ONE compiled program, runtime index —
+    rlwe/coeff.rs:194-229's runtime signature) equals the static-slice
+    variant bit-for-bit at every index."""
+    key = jax.random.PRNGKey(3)
+    ct = jax.random.randint(key, (2, N), 0, Q).astype(jnp.uint32)
+
+    extract = jax.jit(
+        lambda c, i: rlwe.extract_lwe_with_index32(c, i, jnp.uint32(Q))
+    )
+    for index in (0, 1, 3, N // 2, N - 1):
+        static = rlwe.extract_lwe_with_index32(ct, index, jnp.uint32(Q))
+        traced = extract(ct, jnp.int32(index))
+        assert np.array_equal(np.asarray(static), np.asarray(traced)), index
+
+    # batched ciphertexts with per-row indices in one call
+    cts = jax.random.randint(jax.random.PRNGKey(4), (3, 2, N), 0, Q).astype(
+        jnp.uint32
+    )
+    idx = jnp.asarray([1, 5, N - 2], jnp.int32)
+    batched = jax.jit(
+        lambda c, i: rlwe.extract_lwe_with_index32(c, i, jnp.uint32(Q))
+    )(cts, idx)
+    for r, index in enumerate((1, 5, N - 2)):
+        want = rlwe.extract_lwe_with_index32(cts[r], index, jnp.uint32(Q))
+        assert np.array_equal(np.asarray(batched[r]), np.asarray(want)), index
+
+
 # ---------------------------------------------------------------------------
 # poly module
 # ---------------------------------------------------------------------------
