@@ -351,15 +351,59 @@ def _u_bounds(bias: int, planes: int):
     return low, high, smax
 
 
+def _fold_ok(planes: int, bounds, sol) -> bool:
+    """Eligibility of the fused planes→representative fast path."""
+    if not sol or planes != 7:
+        return False
+    a, b = sol
+    low_b, high_b, smax = bounds
+    return (
+        smax * 257 < (1 << 32)
+        and 17 <= a - 32 < 32
+        and b < 32
+        and high_b <= (1 << a)
+    )
+
+
+def _planes_to_y(digs, bias: int, bounds, sol):
+    """7 biased digit planes → one folded mod-q representative (u64
+    pair), fusing the 16-bit-group packing with the 2^32 Solinas fold.
+
+    The high half is ``V_H = lo16(e45) + uu·2^16`` with
+    ``uu = (e45 >> 16) + e6``; its shifted part is then EXACTLY
+    ``vh1 = uu >> (s-16)`` (the fractional parts cannot sum to 1:
+    ``frac(uu/2^(s-16)) <= 1 - 2^-(s-16)`` and ``lo16/2^s <
+    2^-(s-16)``), which skips assembling the wide high half
+    altogether.  Bit-identical to ``_recombine_bytes`` + ``_fold32``."""
+    a, b = sol
+    s = a - 32
+    bb = np.uint32(bias)
+    ds = [d.astype(_U32) + bb for d in digs]
+    e01 = ds[0] + (ds[1] << 8)
+    e23 = ds[2] + (ds[3] << 8)
+    vl = _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
+    e45 = ds[4] + (ds[5] << 8)
+    uu = (e45 >> 16) + ds[6]
+    vh1 = uu >> (s - 16)
+    vh0 = (e45 & np.uint32(0xFFFF)) | (
+        (uu & np.uint32((1 << (s - 16)) - 1)) << 16
+    )
+    t = _sub64(vh1 << b, vh1 >> (32 - b), vh1, jnp.zeros_like(vh1))
+    return _add64(vl[0], vl[1] + vh0, *t)
+
+
 def _twiddle8(
     q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc,
-    high_bound: int | None = None,
+    high_bound: int | None = None, y=None,
 ):
     """Twiddle on biased halves: Solinas folds + corr-add + ONE Shoup
     (output < 4q); general q: two narrow Shoups (reduced once to < 4q) +
-    precomputed corr*T add (output < 5q — fits the byte split range)."""
+    precomputed corr*T add (output < 5q — fits the byte split range).
+    ``y`` short-circuits the fold when the caller already holds the
+    fused planes→representative value (:func:`_planes_to_y`)."""
     if sol:
-        y = _fold32(v_lo, v_hi, sol, high_bound)
+        if y is None:
+            y = _fold32(v_lo, v_hi, sol, high_bound)
         y = _add64(*y, *corr)
         return shoup(*y, *t_t, *qc)
     m1 = narrow(*v_lo, *t_t, *qc)
@@ -368,11 +412,13 @@ def _twiddle8(
     return _add64(*s, *ct_t)
 
 
-def _finish8(q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc):
+def _finish8(
+    q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc, y=None
+):
     """Final fold of pass-2 halves + correction down to the output range."""
     low_b, high_b, _ = bounds
     if sol:
-        r = _fold32(v2l, v2h, sol, high_b)
+        r = y if y is not None else _fold32(v2l, v2h, sol, high_b)
         r = _add64(*r, *corr)
         bound = _fold32_bound(low_b, high_b, sol) + q
         rlo, rhi = _solinas_down(r, bound, sol, q)
@@ -449,7 +495,12 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
         def stage2(g, o1):
             digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
-            v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, b1[2])
+            if _fold_ok(P, b1, sol):
+                y = _planes_to_y(digs, plan.bias_f1, b1, sol)
+                v_lo = v_hi = None
+            else:
+                y = None
+                v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, b1[2])
             t_t = [r[:] for r in t_t8]  # (A, B), applied per poly block
             t32 = [r[:] for r in t32_8]
             ct = [r[:] for r in ct_2]
@@ -459,9 +510,10 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                 lanes = slice(p * B, (p + 1) * B)
                 s2lo, s2hi = _twiddle8(
                     q, sol, shoup, narrow,
-                    (v_lo[0][:, lanes], v_lo[1][:, lanes]),
-                    (v_hi[0][:, lanes], v_hi[1][:, lanes]),
+                    None if y else (v_lo[0][:, lanes], v_lo[1][:, lanes]),
+                    None if y else (v_hi[0][:, lanes], v_hi[1][:, lanes]),
                     c1, t_t, t32, ct, qc, b1[1],
+                    y=(y[0][:, lanes], y[1][:, lanes]) if y else None,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=1)
@@ -471,10 +523,17 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
         def stage3(g, o2):
             d2 = [o2[:, c * B : (c + 1) * B] for c in range(P)]
-            v2l, v2h = _recombine_bytes(d2, plan.bias_f2, b2[2])
-            rlo, rhi = _finish8(
-                q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc
-            )
+            if _fold_ok(P, b2, sol):
+                y = _planes_to_y(d2, plan.bias_f2, b2, sol)
+                rlo, rhi = _finish8(
+                    q, sol, shoup, narrow, None, None, c2, b2, out_factor,
+                    qc, y=y,
+                )
+            else:
+                v2l, v2h = _recombine_bytes(d2, plan.bias_f2, b2[2])
+                rlo, rhi = _finish8(
+                    q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc
+                )
             rows = slice(g * cs * A, (g + 1) * cs * A)
             olo_ref[rows, :] = rlo
             ohi_ref[rows, :] = rhi
@@ -523,7 +582,12 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
 
         def stage2(g, o1):
             digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
-            v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, b1[2])
+            if _fold_ok(P, b1, sol):
+                y = _planes_to_y(digs, plan.bias_i1, b1, sol)
+                v_lo = v_hi = None
+            else:
+                y = None
+                v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, b1[2])
             t_t = [r[:] for r in t_t8]  # (A, B) per poly block
             t32 = [r[:] for r in t32_8]
             ct = [r[:] for r in ct_2]
@@ -532,9 +596,10 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
                 rows = slice(p * A, (p + 1) * A)
                 s2lo, s2hi = _twiddle8(
                     q, sol, shoup, narrow,
-                    (v_lo[0][rows, :], v_lo[1][rows, :]),
-                    (v_hi[0][rows, :], v_hi[1][rows, :]),
+                    None if y else (v_lo[0][rows, :], v_lo[1][rows, :]),
+                    None if y else (v_hi[0][rows, :], v_hi[1][rows, :]),
                     c1, t_t, t32, ct, qc, b1[1],
+                    y=(y[0][rows, :], y[1][rows, :]) if y else None,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
@@ -544,16 +609,22 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
 
         def stage3(g, o2):
             d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
-            v2l, v2h = _recombine_bytes(d2, plan.bias_i2, b2[2])
+            if _fold_ok(P, b2, sol):
+                yf = _planes_to_y(d2, plan.bias_i2, b2, sol)
+                v2l = v2h = None
+            else:
+                yf = None
+                v2l, v2h = _recombine_bytes(d2, plan.bias_i2, b2[2])
             rows = slice(g * cs * A, (g + 1) * cs * A)
             los, his = [], []
             for p in range(cs):
                 lanes = slice(p * B, (p + 1) * B)
                 rlo, rhi = _finish8(
                     q, sol, shoup, narrow,
-                    (v2l[0][:, lanes], v2l[1][:, lanes]),
-                    (v2h[0][:, lanes], v2h[1][:, lanes]),
+                    None if yf else (v2l[0][:, lanes], v2l[1][:, lanes]),
+                    None if yf else (v2h[0][:, lanes], v2h[1][:, lanes]),
                     c2, b2, out_factor, qc,
+                    y=(yf[0][:, lanes], yf[1][:, lanes]) if yf else None,
                 )
                 los.append(rlo)
                 his.append(rhi)
@@ -614,7 +685,12 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
         def fwd_dot2(g, o1):
             digs = [o1[c * A : (c + 1) * A, :] for c in range(P)]
-            v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, bf1[2])
+            if _fold_ok(P, bf1, sol):
+                y = _planes_to_y(digs, plan.bias_f1, bf1, sol)
+                v_lo = v_hi = None
+            else:
+                y = None
+                v_lo, v_hi = _recombine_bytes(digs, plan.bias_f1, bf1[2])
             t_t = [r[:] for r in ft8]
             t32 = [r[:] for r in ft32]
             ct = [r[:] for r in fct]
@@ -624,9 +700,10 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                 lanes = slice(p * B, (p + 1) * B)
                 s2lo, s2hi = _twiddle8(
                     q, sol, shoup, narrow,
-                    (v_lo[0][:, lanes], v_lo[1][:, lanes]),
-                    (v_hi[0][:, lanes], v_hi[1][:, lanes]),
+                    None if y else (v_lo[0][:, lanes], v_lo[1][:, lanes]),
+                    None if y else (v_hi[0][:, lanes], v_hi[1][:, lanes]),
                     cf1, t_t, t32, ct, qc, bf1[1],
+                    y=(y[0][:, lanes], y[1][:, lanes]) if y else None,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=1)
@@ -636,13 +713,16 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
         def inv_dot1(g, o2):
             d2 = [o2[:, c * B : (c + 1) * B] for c in range(P)]
-            v2l, v2h = _recombine_bytes(d2, plan.bias_f2, bf2[2])
+            if _fold_ok(P, bf2, sol):
+                yf = _planes_to_y(d2, plan.bias_f2, bf2, sol)
+                v2l = v2h = None
+            else:
+                yf = None
+                v2l, v2h = _recombine_bytes(d2, plan.bias_f2, bf2[2])
             m_t = [r[:] for r in mul_refs]  # (A, B) per poly block
             parts = []
             for p in range(cs):
                 rows = slice(p * A, (p + 1) * A)
-                v2lb = (v2l[0][rows, :], v2l[1][rows, :])
-                v2hb = (v2h[0][rows, :], v2h[1][rows, :])
                 # Lazy NTT-domain value feeds the key multiply directly.
                 # The Shoup multiply accepts any u64 operand, so for
                 # Solinas q the mod-q representative from one fold
@@ -650,12 +730,22 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                 # ladder the standalone forward kernel needs for its
                 # [0,4q) contract.
                 if sol:
-                    flo, fhi = _add64(
-                        *_fold32(v2lb, v2hb, sol, bf2[1]), *cf2
+                    yb = (
+                        (yf[0][rows, :], yf[1][rows, :])
+                        if yf
+                        else _fold32(
+                            (v2l[0][rows, :], v2l[1][rows, :]),
+                            (v2h[0][rows, :], v2h[1][rows, :]),
+                            sol, bf2[1],
+                        )
                     )
+                    flo, fhi = _add64(*yb, *cf2)
                 else:
                     flo, fhi = _finish8(
-                        q, sol, shoup, narrow, v2lb, v2hb, cf2, bf2, 4, qc
+                        q, sol, shoup, narrow,
+                        (v2l[0][rows, :], v2l[1][rows, :]),
+                        (v2h[0][rows, :], v2h[1][rows, :]),
+                        cf2, bf2, 4, qc,
                     )
                 vlo, vhi = shoup(flo, fhi, *m_t, *qc)  # * key, < 4q
                 parts.append(
@@ -666,7 +756,12 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
         def inv_dot2(g, o1):
             digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
-            v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, bi1[2])
+            if _fold_ok(P, bi1, sol):
+                y = _planes_to_y(digs, plan.bias_i1, bi1, sol)
+                v_lo = v_hi = None
+            else:
+                y = None
+                v_lo, v_hi = _recombine_bytes(digs, plan.bias_i1, bi1[2])
             t_t = [r[:] for r in it8]
             t32 = [r[:] for r in it32]
             ct = [r[:] for r in ict]
@@ -675,9 +770,10 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                 rows = slice(p * A, (p + 1) * A)
                 s2lo, s2hi = _twiddle8(
                     q, sol, shoup, narrow,
-                    (v_lo[0][rows, :], v_lo[1][rows, :]),
-                    (v_hi[0][rows, :], v_hi[1][rows, :]),
+                    None if y else (v_lo[0][rows, :], v_lo[1][rows, :]),
+                    None if y else (v_hi[0][rows, :], v_hi[1][rows, :]),
                     ci1, t_t, t32, ct, qc, bi1[1],
+                    y=(y[0][rows, :], y[1][rows, :]) if y else None,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
@@ -687,16 +783,22 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
         def finish_chunk(g, o2):
             d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
-            v2l, v2h = _recombine_bytes(d2, plan.bias_i2, bi2[2])
+            if _fold_ok(P, bi2, sol):
+                yf = _planes_to_y(d2, plan.bias_i2, bi2, sol)
+                v2l = v2h = None
+            else:
+                yf = None
+                v2l, v2h = _recombine_bytes(d2, plan.bias_i2, bi2[2])
             rows = slice(g * cs * A, (g + 1) * cs * A)
             los, his = [], []
             for p in range(cs):
                 lanes = slice(p * B, (p + 1) * B)
                 rlo, rhi = _finish8(
                     q, sol, shoup, narrow,
-                    (v2l[0][:, lanes], v2l[1][:, lanes]),
-                    (v2h[0][:, lanes], v2h[1][:, lanes]),
+                    None if yf else (v2l[0][:, lanes], v2l[1][:, lanes]),
+                    None if yf else (v2h[0][:, lanes], v2h[1][:, lanes]),
                     ci2, bi2, out_factor, qc,
+                    y=(yf[0][:, lanes], yf[1][:, lanes]) if yf else None,
                 )
                 los.append(rlo)
                 his.append(rhi)
