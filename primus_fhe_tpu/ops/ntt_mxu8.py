@@ -110,8 +110,17 @@ def _byte_matrix(m, q: int, planes: int) -> np.ndarray:
 
 
 def _bias_for(planes: int, K: int) -> int:
-    """Digit-sum bias: |S| <= planes*K*128*128 exactly."""
+    """Worst-case digit-sum bias: |S| <= planes*K*128*128 exactly."""
     return planes * K * 128 * 128
+
+
+def _bias_exact(w: np.ndarray) -> int:
+    """Exact digit-sum bias for a concrete byte matrix: the value-side
+    bytes are in [-128, 127], so ``|S[row]| <= 128 * sum_k |W[row, k]|``.
+    For the DFT matrices this is ~half the worst case, which keeps the
+    pass-2 sums inside the carry-free packing margin
+    (``smax * 257 < 2^32``) that the fused planes→fold fast path needs."""
+    return int(128 * np.abs(w.astype(np.int64)).sum(axis=1).max())
 
 
 def _corr_vec(w: np.ndarray, planes: int, R: int, bias: int, q: int):
@@ -179,12 +188,13 @@ class Mxu8NttPlan64:
         self.w1mf = np.ascontiguousarray(w1m.T)  # (PB, PB): cols (c,k0)
         self.w2mf = _byte_matrix(fs["m1i"], q, P)  # (PA, PA): rows (c,k1)
 
-        # biases per pass (contraction widths: fwd pass1 = A, fwd pass2 =
-        # B, inv pass1 = Bi, inv pass2 = Ai)
-        self.bias_f1 = _bias_for(P, A)
-        self.bias_f2 = _bias_for(P, B)
-        self.bias_i1 = _bias_for(P, B)
-        self.bias_i2 = _bias_for(P, A)
+        # biases per pass — exact per-matrix bounds (~half the worst case
+        # planes*K*128^2; the looser bound pushed pass-2 sums past the
+        # carry-free packing margin)
+        self.bias_f1 = _bias_exact(self.w1f)
+        self.bias_f2 = _bias_exact(w2)
+        self.bias_i1 = _bias_exact(w1m)
+        self.bias_i2 = _bias_exact(self.w2mf)
 
         # per-row corrections (canonical u64 pairs).  Row-indexed ones are
         # stored lane-broadcast (R, B) (a lane dim of 1 has no legal
@@ -353,12 +363,12 @@ def _u_bounds(bias: int, planes: int):
 
 def _fold_ok(planes: int, bounds, sol) -> bool:
     """Eligibility of the fused planes→representative fast path."""
-    if not sol or planes != 7:
+    if not sol or planes not in (7, 8):
         return False
     a, b = sol
     low_b, high_b, smax = bounds
     return (
-        smax * 257 < (1 << 32)
+        smax * 257 + (1 << 16) < (1 << 32)
         and 17 <= a - 32 < 32
         and b < 32
         and high_b <= (1 << a)
@@ -366,15 +376,16 @@ def _fold_ok(planes: int, bounds, sol) -> bool:
 
 
 def _planes_to_y(digs, bias: int, bounds, sol):
-    """7 biased digit planes → one folded mod-q representative (u64
+    """7/8 biased digit planes → one folded mod-q representative (u64
     pair), fusing the 16-bit-group packing with the 2^32 Solinas fold.
 
     The high half is ``V_H = lo16(e45) + uu·2^16`` with
-    ``uu = (e45 >> 16) + e6``; its shifted part is then EXACTLY
-    ``vh1 = uu >> (s-16)`` (the fractional parts cannot sum to 1:
-    ``frac(uu/2^(s-16)) <= 1 - 2^-(s-16)`` and ``lo16/2^s <
-    2^-(s-16)``), which skips assembling the wide high half
-    altogether.  Bit-identical to ``_recombine_bytes`` + ``_fold32``."""
+    ``uu = (e45 >> 16) + e6`` (7 planes) or ``+ e67`` (8); its shifted
+    part is then EXACTLY ``vh1 = uu >> (s-16)`` (the fractional parts
+    cannot sum to 1: ``frac(uu/2^(s-16)) <= 1 - 2^-(s-16)`` and
+    ``lo16/2^s < 2^-(s-16)``), which skips assembling the wide high
+    half altogether.  Bit-identical to ``_recombine_bytes`` +
+    ``_fold32``."""
     a, b = sol
     s = a - 32
     bb = np.uint32(bias)
@@ -383,7 +394,8 @@ def _planes_to_y(digs, bias: int, bounds, sol):
     e23 = ds[2] + (ds[3] << 8)
     vl = _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
     e45 = ds[4] + (ds[5] << 8)
-    uu = (e45 >> 16) + ds[6]
+    top = ds[6] if len(ds) == 7 else ds[6] + (ds[7] << 8)
+    uu = (e45 >> 16) + top
     vh1 = uu >> (s - 16)
     vh0 = (e45 & np.uint32(0xFFFF)) | (
         (uu & np.uint32((1 << (s - 16)) - 1)) << 16

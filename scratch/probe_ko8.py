@@ -38,12 +38,14 @@ def ko_split(lo, hi, planes):
     return [p] * planes
 
 
-def ko_twiddle(q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc):
-    return v_lo
+def ko_twiddle(q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc,
+               high_bound=None, y=None):
+    return y if y is not None else v_lo
 
 
-def ko_finish(q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc):
-    return v2l
+def ko_finish(q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc,
+              y=None):
+    return y if y is not None else v2l
 
 
 def ko_recombine(digs, bias, smax):
