@@ -73,6 +73,13 @@ print(txt)
         timeout=1500, check=True,
     )
     txt = out.stdout.split("<<<HLO>>>", 1)[1]
+    return parse_collective_bytes(txt)
+
+
+def parse_collective_bytes(txt: str, scan_trips: int = 4) -> dict:
+    """Tally per-device collective wire bytes from optimized-HLO text.
+    ``scan_trips`` multiplies collectives inside while bodies (the scan
+    over LWE positions prints its body once)."""
     per_line = []
     for line in txt.splitlines():
         m = _OP.search(line)
@@ -94,7 +101,7 @@ print(txt)
         g = len(gm.group(1).split(",")) if gm else 2
         # collectives inside the scan over LWE positions run once per
         # iteration; the HLO prints the while body once
-        trips = 4 if "while" in line else 1  # n_lwe = 4 in this step
+        trips = scan_trips if "while" in line else 1
         # shard-level tensor size S is the op's result size on one device;
         # ring costs per device:
         if kind == "all-reduce":

@@ -150,3 +150,27 @@ def test_coeff_sharded_one_permute_per_exchange_stage(mesh):
         count_permutes(i64, v64.lo, v64.hi, iw64.lo, iw64.hi, ip64.lo, ip64.hi)
         == 2 * log_d
     )
+
+
+def test_production_step_wire_bytes_bounded(mesh):
+    """Per-device collective wire bytes of the production blind-rotation
+    step stay within the budget behind the modeled 92% 8-device
+    efficiency (SCALING_MODEL artifact): 786 KB/step today — one tuple
+    all-reduce over residue pairs + 4 collective-permutes per LWE scan
+    trip.  A sharding regression that re-introduces redundant
+    collectives (e.g. the old two-ppermute exchange) fails here."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench_scaling_model import parse_collective_bytes
+    from __graft_entry__ import make_sharded_rotation_step
+
+    step, (lwe, acc, bsk), _ = make_sharded_rotation_step(
+        8, log_n=10, n_lwe=4, batch=16, residue=2
+    )
+    txt = step.lower(lwe, acc, bsk).compile().as_text()
+    got = parse_collective_bytes(txt, scan_trips=4)
+    kinds = set(got["by_kind"])
+    assert kinds <= {"all-reduce", "collective-permute"}, kinds
+    assert got["total_wire_bytes"] <= 900_000, got["by_kind"]
