@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..golden.model import GoldenNtt
+from ..golden.model import GoldenNtt, mod_inv
 from ..utils.contracts import check_range_u64
 from ..numeric.limb import U64
 from ..utils.bits import reverse_lsbs
@@ -116,7 +116,9 @@ def _pow_table(base: int, q: int, count: int) -> list[int]:
     return out
 
 
-def four_step_matrices(log_n: int, q: int, h1: int, h1_inv: int):
+def four_step_matrices(
+    log_n: int, q: int, h1: int, h1_inv: int, root: int | None = None
+):
     """Host-side four-step factorization matrices (object-int numpy).
 
     Returns a dict with the forward split ``A x B`` matrices ``m1[r0,k1]``,
@@ -125,12 +127,21 @@ def four_step_matrices(log_n: int, q: int, h1: int, h1_inv: int):
     (``inv_n`` folded into ``m1i``).  Shared by the 7-bit-limb plan
     (:class:`MxuNttPlan64`) and the byte-radix plan (``ops/ntt_mxu8.py``).
     Math per :class:`MxuNttPlan64`'s docstring; reference semantics
-    ``crates/primus_ntt/src/ntt/prime64/scalar/transform.rs``."""
+    ``crates/primus_ntt/src/ntt/prime64/scalar/transform.rs``.
+
+    ``root`` overrides the minimal-root convention (a primitive 2n-th
+    root mod q) — used by the large-n composition whose sub-transforms
+    run on explicit powers of the top-level root."""
     n = 1 << log_n
     A, B = 1 << h1, 1 << (log_n - h1)
     Ai, Bi = 1 << h1_inv, 1 << (log_n - h1_inv)
-    g = GoldenNtt(log_n, q)
-    psi = g.root
+    if root is None:
+        g = GoldenNtt(log_n, q)
+        psi = g.root
+        inv_n_val = g.inv_n
+    else:
+        psi = int(root)
+        inv_n_val = mod_inv(n, q)
 
     def vandermonde(col_pows, row_pows):
         R, C = len(row_pows), len(col_pows)
@@ -161,7 +172,7 @@ def four_step_matrices(log_n: int, q: int, h1: int, h1_inv: int):
     iom = ipsi * ipsi % q
     iom_a = pow(iom, Bi, q)
     iom_b = pow(iom, Ai, q)
-    inv_n = g.inv_n
+    inv_n = inv_n_val
     rev1i = [reverse_lsbs(i, h1_inv) for i in range(Ai)]
     rev2i = [reverse_lsbs(i, log_n - h1_inv) for i in range(Bi)]
     iom_a_rev = [pow(iom_a, e, q) for e in rev1i]

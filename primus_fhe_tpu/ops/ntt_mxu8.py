@@ -156,7 +156,13 @@ class Mxu8NttPlan64:
     natural-layout kernel contracts as :class:`ops.ntt_mxu.MxuNttPlan64`.
     """
 
-    def __init__(self, log_n: int, q: int, h1: int | None = None):
+    def __init__(
+        self,
+        log_n: int,
+        q: int,
+        h1: int | None = None,
+        root: int | None = None,
+    ):
         self.planes = P = _planes_for(q)
         self.log_n = log_n
         self.n = n = 1 << log_n
@@ -179,7 +185,7 @@ class Mxu8NttPlan64:
         self.Ai, self.Bi = A, B
         if P * max(A, B) * 128 * 128 >= 1 << 31:
             raise ValueError("split too wide for int32 digit sums")
-        fs = four_step_matrices(log_n, q, h1, h1)
+        fs = four_step_matrices(log_n, q, h1, h1, root)
 
         self.w1f = _byte_matrix(fs["m1"], q, P)  # (PA, PA): rows (c,r0)
         w2 = _byte_matrix(fs["m2"], q, P)  # rows (c,r1)

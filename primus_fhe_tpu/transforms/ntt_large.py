@@ -57,6 +57,16 @@ class LargeNttPlan64:
         omega = psi * psi % q
         self.plan_a = PallasNttPlan64(h1, q, root=pow(psi, B, q))
         self.plan_b = PallasNttPlan64(h2, q, root=pow(psi, A, q))
+        # byte-radix MXU sub-plans (same explicit roots, so sub-transform
+        # outputs are bit-identical to the VPU sub-plans): the dominant
+        # cost of a large-n transform is the two batches of size-2^10ish
+        # sub-NTTs — exactly the MXU kernels' sweet spot
+        self.mxu_a = self.mxu_b = None
+        if q < (1 << 61) and min(h1, h2) >= 8:
+            from ..ops.ntt_mxu8 import Mxu8NttPlan64
+
+            self.mxu_a = Mxu8NttPlan64(h1, q, root=pow(psi, B, q))
+            self.mxu_b = Mxu8NttPlan64(h2, q, root=pow(psi, A, q))
 
         two_n = 2 * n
         rev1 = [reverse_lsbs(i, h1) for i in range(A)]
@@ -111,12 +121,21 @@ def large_forward64(plan: LargeNttPlan64, values: U64, out_factor: int = 1) -> U
     def t(x, shape, perm):
         return x.reshape(*shape).transpose(*perm)
 
+    mxu = jax.default_backend() == "tpu" and plan.mxu_a is not None
+
+    def sub_fwd(p, pm, v, ofac):
+        if mxu:
+            from ..ops.ntt_mxu8 import mxu8_fused_forward64
+
+            return mxu8_fused_forward64(pm, v, ofac, 32)
+        return pallas_forward64(p, v, ofac)
+
     # columns: size-A transforms over k1 (input rows k1, lanes k0)
     v = U64(
         t(values.lo, (b, A, B), (0, 2, 1)).reshape(b * B, A),
         t(values.hi, (b, A, B), (0, 2, 1)).reshape(b * B, A),
     )
-    y = pallas_forward64(plan.plan_a, v, 4)  # (b*B, A) rows k0, cols r0
+    y = sub_fwd(plan.plan_a, plan.mxu_a, v, 4)  # (b*B, A) rows k0, cols r0
 
     # twiddle in the [k0, r0] grid
     y = U64(y.lo.reshape(b, B, A), y.hi.reshape(b, B, A))
@@ -127,7 +146,7 @@ def large_forward64(plan: LargeNttPlan64, values: U64, out_factor: int = 1) -> U
         t(y.lo, (b, B, A), (0, 2, 1)).reshape(b * A, B),
         t(y.hi, (b, B, A), (0, 2, 1)).reshape(b * A, B),
     )
-    out = pallas_forward64(plan.plan_b, v2, out_factor)  # rows r0, cols r1
+    out = sub_fwd(plan.plan_b, plan.mxu_b, v2, out_factor)  # rows r0, cols r1
     return U64(
         out.lo.reshape(*batch_shape, n), out.hi.reshape(*batch_shape, n)
     )
@@ -142,9 +161,18 @@ def large_inverse64(plan: LargeNttPlan64, values: U64, out_factor: int = 1) -> U
     batch_shape = values.lo.shape[:-1]
     b = int(np.prod(batch_shape)) if batch_shape else 1
 
+    mxu = jax.default_backend() == "tpu" and plan.mxu_a is not None
+
+    def sub_inv(p, pm, v, ofac, in_factor=2):
+        if mxu:
+            from ..ops.ntt_mxu8 import mxu8_fused_inverse64
+
+            return mxu8_fused_inverse64(pm, v, ofac, 32)
+        return pallas_inverse64(p, v, ofac, 8, in_factor)
+
     # rows: size-B inverses over r1 (input rows r0; accept [0,4q) input)
     v = U64(values.lo.reshape(b * A, B), values.hi.reshape(b * A, B))
-    y = pallas_inverse64(plan.plan_b, v, 4, 8, 4)  # (b*A, B) rows r0, cols k0
+    y = sub_inv(plan.plan_b, plan.mxu_b, v, 4, 4)  # (b*A, B) rows r0, cols k0
 
     # twiddle in the [r0, k0] grid
     y = U64(y.lo.reshape(b, A, B), y.hi.reshape(b, A, B))
@@ -155,7 +183,7 @@ def large_inverse64(plan: LargeNttPlan64, values: U64, out_factor: int = 1) -> U
         y.lo.transpose(0, 2, 1).reshape(b * B, A),
         y.hi.transpose(0, 2, 1).reshape(b * B, A),
     )
-    out = pallas_inverse64(plan.plan_a, v2, out_factor)  # (b*B, A) cols k1
+    out = sub_inv(plan.plan_a, plan.mxu_a, v2, out_factor)  # (b*B, A) cols k1
     out = U64(out.lo.reshape(b, B, A), out.hi.reshape(b, B, A))
     return U64(
         out.lo.transpose(0, 2, 1).reshape(*batch_shape, n),
