@@ -71,7 +71,10 @@ _U32 = jnp.uint32
 
 
 def _planes_for(q: int) -> int:
-    """7 byte planes for the ``q < 2^53`` tier, 8 for ``q < 2^61``."""
+    """4 byte planes for the u32 tier (``q < 2^30``), 7 for ``q < 2^53``,
+    8 for ``q < 2^61``."""
+    if q < 1 << 30:
+        return 4
     if q < 1 << 53:
         return 7
     if q < 1 << 61:
@@ -324,7 +327,11 @@ def _recombine_bytes(digs, bias: int, smax: int):
     (the true mod-q value is ``U + corr``)."""
     b = np.uint32(bias)
     ds = [d.astype(_U32) + b for d in digs]
-    return _recombine_quad(ds[:4], smax), _recombine_quad(ds[4:], smax)
+    low = _recombine_quad(ds[:4], smax)
+    if len(ds) <= 4:  # u32 tier: the high half is identically zero
+        z = jnp.zeros_like(low[0])
+        return low, (z, z)
+    return low, _recombine_quad(ds[4:], smax)
 
 
 def _fold32(vl, vh, sol, high_bound: int | None = None):
@@ -355,7 +362,7 @@ def _fold32(vl, vh, sol, high_bound: int | None = None):
 
 def _fold32_bound(low_bound: int, high_bound: int, sol) -> int:
     a, b = sol
-    vh1 = (high_bound - 1) >> (a - 32)
+    vh1 = max(high_bound - 1, 0) >> (a - 32)
     return low_bound + (1 << a) + vh1 * ((1 << b) - 1)
 
 
@@ -369,16 +376,15 @@ def _u_bounds(bias: int, planes: int):
 
 def _fold_ok(planes: int, bounds, sol) -> bool:
     """Eligibility of the fused planes→representative fast path."""
-    if not sol or planes not in (7, 8):
+    if not sol or planes not in (4, 7, 8):
         return False
-    a, b = sol
     low_b, high_b, smax = bounds
-    return (
-        smax * 257 + (1 << 16) < (1 << 32)
-        and 17 <= a - 32 < 32
-        and b < 32
-        and high_b <= (1 << a)
-    )
+    if smax * 257 + (1 << 16) >= 1 << 32:
+        return False
+    if planes == 4:  # no high half to fold
+        return True
+    a, b = sol
+    return 17 <= a - 32 < 32 and b < 32 and high_b <= (1 << a)
 
 
 def _planes_to_y(digs, bias: int, bounds, sol):
@@ -399,6 +405,8 @@ def _planes_to_y(digs, bias: int, bounds, sol):
     e01 = ds[0] + (ds[1] << 8)
     e23 = ds[2] + (ds[3] << 8)
     vl = _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
+    if len(ds) == 4:  # u32 tier: the packed low half IS the value
+        return vl
     e45 = ds[4] + (ds[5] << 8)
     top = ds[6] if len(ds) == 7 else ds[6] + (ds[7] << 8)
     uu = (e45 >> 16) + top
@@ -840,7 +848,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
 def _check_in(plan, values, what):
     if plan.planes < 8:
-        check_range_u64(values, 1 << 56, 1, what)
+        check_range_u64(values, 1 << (8 * plan.planes), 1, what)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))

@@ -27,6 +27,7 @@ def test_tier_selection_covers_reference_primes():
 
 
 def test_planes_tiers():
+    assert _planes_for(536813569) == 4  # u32 tier
     assert _planes_for(1125899906826241) == 7
     assert _planes_for(1152921504606830593) == 8
 
