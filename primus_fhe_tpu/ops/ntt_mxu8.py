@@ -21,7 +21,7 @@ This buys two things over the 7-bit kernel:
    for the ``q < 2^53`` tier) — the round-trip headline path;
 2. **the 60-bit prime tier**: 8 byte planes cover any u64 value, and
    int32 digit sums stay exact (``8*256*128^2 = 2^25``), so the MXU path
-   extends to ``q < 2^61`` — covering the reference's full AVX-512 range
+   extends to ``q < 2^62`` — covering the reference's full AVX-512 range
    (``crates/primus_ntt/src/ntt/prime64/avx512/internal.rs:1-73``, golden
    60-bit prime 1152921504606830593) that previously rode the VPU
    butterfly.
@@ -72,14 +72,15 @@ _U32 = jnp.uint32
 
 def _planes_for(q: int) -> int:
     """4 byte planes for the u32 tier (``q < 2^30``), 7 for ``q < 2^53``,
-    8 for ``q < 2^61``."""
+    8 for ``q < 2^62`` (the reference's full AVX-512 range; the 61/62-bit
+    general-q paths take extra guard reductions to keep sums in u64)."""
     if q < 1 << 30:
         return 4
     if q < 1 << 53:
         return 7
-    if q < 1 << 61:
+    if q < 1 << 62:
         return 8
-    raise ValueError("byte-radix MXU plan requires q < 2^61")
+    raise ValueError("byte-radix MXU plan requires q < 2^62")
 
 
 def _balanced_digits_arr(ms, planes: int):
@@ -155,7 +156,8 @@ class Mxu8NttPlan64:
     """Byte-radix four-step plan: constant matrices, twiddle Shoup
     tables, and offset-correction vectors for forward + mirrored inverse.
 
-    Valid for ``q < 2^61`` (8 planes; 7 when ``q < 2^53``).  Same
+    Valid for ``q < 2^62`` (8 planes; 7 when ``q < 2^53``, 4 when
+    ``q < 2^30``).  Same
     natural-layout kernel contracts as :class:`ops.ntt_mxu.MxuNttPlan64`.
     """
 
@@ -434,7 +436,12 @@ def _twiddle8(
         return shoup(*y, *t_t, *qc)
     m1 = narrow(*v_lo, *t_t, *qc)
     m2 = narrow(*v_hi, *t32_t, *qc)
-    s = _reduce_once64(*_add64(*m1, *m2), *_const64(4 * q))
+    if 8 * q >= 1 << 64:  # 61/62-bit tier: keep every sum inside u64
+        m1 = _reduce_once64(*m1, *_const64(2 * q))
+        m2 = _reduce_once64(*m2, *_const64(2 * q))
+        s = _reduce_once64(*_add64(*m1, *m2), *_const64(2 * q))
+    else:
+        s = _reduce_once64(*_add64(*m1, *m2), *_const64(4 * q))
     return _add64(*s, *ct_t)
 
 
@@ -450,6 +457,8 @@ def _finish8(
         rlo, rhi = _solinas_down(r, bound, sol, q)
     else:
         mh = narrow(*v2h, *_sconst((1 << 32) % q, q), *qc)
+        if 8 * q >= 1 << 64:  # 61/62-bit tier: v2l + mh + corr must fit u64
+            mh = _reduce_once64(*mh, *_const64(2 * q))
         t = _add64(*_add64(*v2l, *mh), *corr)
         rlo, rhi = shoup(*t, *_sconst(1, q), *qc)  # Barrett, [0,4q)
         if out_factor <= 2:

@@ -353,16 +353,17 @@ def _mxu_plan64(log_n: int, q: int):
 
 
 def _mxu_ok(log_n: int, q: int, out_factor: int = 4) -> bool:
-    """Byte-radix MXU tier: q < 2^61 (8 planes; 7 planes when q < 2^53,
-    which also caps lazy inputs at 2^56 — out_factor*q <= 4q < 2^55 fits)
-    and a lane-aligned split (B = 128 needs log_n >= 8)."""
-    return q < (1 << 61) and log_n >= 8
+    """Byte-radix MXU tier: q < 2^62 (8 planes; 7 planes when q < 2^53,
+    which also caps lazy inputs at 2^56 — out_factor*q <= 4q < 2^55 fits;
+    4 planes when q < 2^30) and a lane-aligned split (B = 128 needs
+    log_n >= 8)."""
+    return q < (1 << 62) and log_n >= 8
 
 
 def dcrt_forward64_fast(plan: DcrtPlan64, values: U64, out_factor: int = 1) -> U64:
     """DCRT forward that routes each modulus through the fastest fused
     kernel on TPU — the byte-radix int8 MXU four-step (ops/ntt_mxu8.py,
-    q < 2^61 incl. the reference's 60-bit golden prime) where the
+    q < 2^62 incl. the reference's 60-bit golden prime) where the
     modulus/shape allow, else the fused VPU butterfly (ops/ntt_pallas.py);
     a single custom call per modulus keeps enclosing scan graphs small.
     XLA-staged path elsewhere."""

@@ -62,7 +62,7 @@ class LargeNttPlan64:
         # cost of a large-n transform is the two batches of size-2^10ish
         # sub-NTTs — exactly the MXU kernels' sweet spot
         self.mxu_a = self.mxu_b = None
-        if q < (1 << 61) and min(h1, h2) >= 8:
+        if q < (1 << 62) and min(h1, h2) >= 8:
             from ..ops.ntt_mxu8 import Mxu8NttPlan64
 
             self.mxu_a = Mxu8NttPlan64(h1, q, root=pow(psi, B, q))

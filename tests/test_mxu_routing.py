@@ -19,11 +19,12 @@ def test_tier_selection_covers_reference_primes():
         562949953392641,  # 49-bit
         1125899906826241,  # 50-bit
         1152921504606830593,  # 60-bit golden prime
+        4611686018425815041,  # 62-bit (ntt_large's Q62)
     ):
         assert _mxu_ok(12, q), q
         assert _mxu_ok(8, q), q
     assert not _mxu_ok(7, 1125899906826241)  # B=128 needs log_n >= 8
-    assert not _mxu_ok(12, (1 << 61) + 9)  # beyond the byte-radix range
+    assert not _mxu_ok(12, (1 << 62) + 9)  # beyond the byte-radix range
 
 
 def test_planes_tiers():

@@ -28,6 +28,7 @@ PRIMES = [
     (7, 562949953392641),
     (8, 1152921504606830593),
     (7, 998244353),  # non-Solinas NTT prime (119*2^23+1): general-q path
+    (8, 4611686018425815041),  # 62-bit non-Solinas: guarded general-q sums
 ]
 
 
