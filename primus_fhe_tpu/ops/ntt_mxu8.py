@@ -402,15 +402,22 @@ def _planes_to_y(digs, bias: int, bounds, sol):
     ``_fold32``."""
     a, b = sol
     s = a - 32
-    bb = np.uint32(bias)
-    ds = [d.astype(_U32) + bb for d in digs]
-    e01 = ds[0] + (ds[1] << 8)
-    e23 = ds[2] + (ds[3] << 8)
+    # biased pair sums via wrapping u32 arithmetic: (d0+bias) + (d1+bias)
+    # << 8 == d0 + (d1 << 8) + bias*257 exactly mod 2^32, so the per-plane
+    # bias adds fold into one packed constant per pair
+    b2 = np.uint32((bias * 257) & 0xFFFFFFFF)
+    du = [d.astype(_U32) for d in digs]
+    e01 = du[0] + (du[1] << 8) + b2
+    e23 = du[2] + (du[3] << 8) + b2
     vl = _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
-    if len(ds) == 4:  # u32 tier: the packed low half IS the value
+    if len(du) == 4:  # u32 tier: the packed low half IS the value
         return vl
-    e45 = ds[4] + (ds[5] << 8)
-    top = ds[6] if len(ds) == 7 else ds[6] + (ds[7] << 8)
+    e45 = du[4] + (du[5] << 8) + b2
+    top = (
+        du[6] + np.uint32(bias)
+        if len(du) == 7
+        else du[6] + (du[7] << 8) + b2
+    )
     uu = (e45 >> 16) + top
     vh1 = uu >> (s - 16)
     vh0 = (e45 & np.uint32(0xFFFF)) | (
