@@ -166,24 +166,28 @@ def main():
 
     # The remote-device runtime has multi-second fixed dispatch/fetch
     # latency, so throughput is measured from the *difference* between two
-    # workload sizes, cancelling the constant overhead.
+    # workload sizes, cancelling the constant overhead.  The two sizes are
+    # timed separately and the difference taken between their per-size
+    # MINIMA over several tries — robust to one-sided tunnel hiccups,
+    # which would inflate (slow r1) or deflate (slow r2) a paired
+    # difference.
     r1, r2 = 64, 512
     _ = float(chained(data, r1))  # warmup/compile
     _ = float(chained(data, r2))
-    best = None
-    for _i in range(3):
+    t1s, t2s = [], []
+    for _i in range(4):
         t0 = time.perf_counter()
         _ = float(chained(data, r1))
         t1 = time.perf_counter()
         _ = float(chained(data, r2))
         t2 = time.perf_counter()
-        dt = max((t2 - t1) - (t1 - t0), 1e-9)
-        best = dt if best is None else min(best, dt)
+        t1s.append(t1 - t0)
+        t2s.append(t2 - t1)
         print(
             f"[bench] t(r1={r1})={t1-t0:.3f}s t(r2={r2})={t2-t1:.3f}s",
             file=sys.stderr,
         )
-    dt = best
+    dt = max(min(t2s) - min(t1s), 1e-9)
     reps_total = r2 - r1
 
     rts = reps_total * batch
