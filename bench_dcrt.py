@@ -78,17 +78,19 @@ def main():
         best = dt if best is None else min(best, dt)
     cmux = N_LWE * BATCH
     ms_per_step = best / N_LWE * 1e3
-    print(
-        json.dumps(
-            {
-                "metric": f"DCRT CMux/s (N={N}, 2x50-bit, L={level}, batch={BATCH})",
-                "value": cmux / best,
-                "unit": "cmux/s",
-                "ms_per_batched_step": ms_per_step,
-                "ms_per_cmux": best / cmux * 1e3,
-            }
-        )
-    )
+    record = {
+        "metric": f"DCRT CMux/s (N={N}, 2x50-bit, L={level}, batch={BATCH})",
+        "value": cmux / best,
+        "unit": "cmux/s",
+        "ms_per_batched_step": ms_per_step,
+        "ms_per_cmux": best / cmux * 1e3,
+    }
+    print(json.dumps(record))
+    import os
+
+    rnd = os.environ.get("PRIMUS_ROUND", "03")
+    with open(f"BENCH_DCRT_r{rnd}.json", "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
