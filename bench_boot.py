@@ -35,7 +35,7 @@ def main():
     LV = int(os.environ.get("BOOT_LEVEL", 2))
     N = 1 << LOG_N
     N_LWE = int(os.environ.get("BOOT_NLWE", 512))
-    BATCH = int(os.environ.get('BOOT_BATCH', 16))
+    BATCH = int(os.environ.get('BOOT_BATCH', 64))
 
     basis = ApproxSignedBasis32(None, LB, reverse_length=LV)
     conv = tfhe.make_convolver(LOG_N, LV, K, LB)
