@@ -31,7 +31,6 @@ from ..numeric.limb import (
     u64_ge,
     u64_select,
     u64_shr,
-    u64_sub,
     u64_add,
 )
 

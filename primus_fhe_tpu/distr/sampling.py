@@ -54,7 +54,7 @@ def sample_uniform(key, shape, q: int):
     ``floor(u64 * q / 2^64)`` from two 32-bit words: bias < 2^-33, the
     standard unbiased-to-negligible lattice-sampling reduction.
     """
-    from ..numeric.limb import mul_wide_u32, u64_mul_hi
+    from ..numeric.limb import u64_mul_hi
 
     k1, k2 = jax.random.split(key)
     lo = _bits32(k1, shape)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..decompose.big_integer import BigUintApproxSignedBasis
-from ..modular.modops import add64, mul64, lazy_mul64, reduce_once64
+from ..modular.modops import add64, mul64
 from ..numeric.limb import U64
 from ..rns.base import RNSBase64
 from ..transforms.dcrt import (
@@ -37,8 +37,7 @@ from ..transforms.dcrt import (
     dcrt_forward64,
     dcrt_forward64_fast,
     dcrt_inverse64,
-    dcrt_inverse64_fast,
-)
+    )
 
 _U32 = jnp.uint32
 

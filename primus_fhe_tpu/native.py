@@ -15,7 +15,6 @@ cached next to the source.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

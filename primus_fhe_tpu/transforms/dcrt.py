@@ -22,8 +22,8 @@ import numpy as np
 
 from ..golden.model import GoldenNtt
 from ..modular.modops import reduce_once32, reduce_once64, reduce_twice32, reduce_twice64
-from ..numeric.limb import U64, mulhi_u32, to_u64_pair, u64_add, u64_mul_hi, u64_mul_lo, u64_sub
-from .plan import NttPlan32, NttPlan64, build_plan32, build_plan64
+from ..numeric.limb import U64, mulhi_u32, u64_add, u64_mul_hi, u64_mul_lo, u64_sub
+from .plan import build_plan32, build_plan64
 
 _U32 = jnp.uint32
 

@@ -34,7 +34,6 @@ from ..numeric.limb import (
     u64_add,
     u64_mul_hi,
     u64_mul_lo,
-    u64_select,
     u64_sub,
 )
 from .plan import NttPlan32, NttPlan64

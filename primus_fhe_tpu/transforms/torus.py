@@ -46,7 +46,7 @@ from ..modular.factor import shoup32
 from ..numeric.limb import U64, to_u64_pair
 from ..utils.gcd import mod_inv
 from ..utils.primes import next_ntt_prime
-from .dcrt import DcrtPlan32, build_dcrt_plan32, dcrt_forward32, dcrt_inverse32
+from .dcrt import build_dcrt_plan32, dcrt_forward32, dcrt_inverse32
 
 _U32 = jnp.uint32
 
@@ -186,7 +186,7 @@ class TorusConvolver32:
         # alpha: accumulate y_i * floor(2^64/p_i) exactly (each < 2^64).
         tfix = jax.tree.map(lambda x: x.reshape((k,) + (1,) * nd), self.alpha_fix)
         ylo_t = U64(y, jnp.zeros_like(y))
-        from ..numeric.limb import u64_mul_lo, u64_mul_hi
+        from ..numeric.limb import u64_mul_lo
 
         prod_lo = u64_mul_lo(ylo_t, tfix)  # y*t < 2^64: low 64 bits are exact
         acc_lo = jnp.zeros(res.shape[1:], dtype=_U32)
