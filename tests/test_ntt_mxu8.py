@@ -151,3 +151,38 @@ def test_mxu8_headline_shape():
     f = mxu8_fused_forward64(plan, to_u64_pair(vals), 4, 2)
     rt = from_u64_pair(mxu8_fused_inverse64(plan, f, 1, 2))
     assert (rt == vals).all()
+
+
+@pytest.mark.parametrize(
+    "log_n,q",
+    [
+        (8, 536813569),  # 4-plane tier
+        (8, 1125899906826241),  # 7-plane tier
+        (8, 1152921504606830593),  # 8-plane Solinas
+        (8, 4611686018425815041),  # 8-plane general-q (guarded sums)
+    ],
+)
+def test_mxu8_extreme_inputs(log_n, q):
+    """Bound-stressing inputs: all-0x00 bytes (every signed byte = -128)
+    and the max in-contract value with all-0xFF bytes (every byte =
+    +127), plus q-1 — the patterns that drive digit sums and the packed
+    16-bit groups toward their bias/overflow margins."""
+    from primus_fhe_tpu.ops.ntt_mxu8 import _planes_for
+
+    n = 1 << log_n
+    g = GoldenNtt(log_n, q)
+    plan = Mxu8NttPlan64(log_n, q)
+    planes = _planes_for(q)
+    hi = min((1 << (8 * planes)) - 1, (1 << 64) - 1)
+    rows = [
+        [0] * n,
+        [hi] * n,
+        [q - 1] * n,
+        [hi if i % 2 else 0 for i in range(n)],
+    ]
+    vals = np.array(rows, dtype=np.uint64)
+    out = from_u64_pair(mxu8_fused_forward64(plan, to_u64_pair(vals), 1, 2))
+    for r, row in enumerate(rows):
+        expect = g.forward([int(x) % q for x in row])
+        got = [int(x) for x in np.asarray(out)[r]]
+        assert got == expect, (q, r)
