@@ -118,7 +118,13 @@ def test_mxu8_fused_inverse_mul(log_n, q):
 
 @pytest.mark.parametrize(
     "log_n,q",
-    [(8, 1125899906826241), (8, 1152921504606830593), (7, 998244353)],
+    [
+        (8, 1125899906826241),  # 7-plane Solinas (headline prime)
+        (8, 1152921504606830593),  # 8-plane Solinas
+        (7, 998244353),  # 4-plane general-q
+        (7, 1099511603713),  # 7-plane general-q
+        (7, 4611686018425815041),  # 8-plane general-q (guarded sums)
+    ],
 )
 def test_mxu8_fused_roundtrip_mul(log_n, q):
     """The single-kernel round trip == golden fwd -> pointwise -> inv."""
