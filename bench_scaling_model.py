@@ -51,9 +51,10 @@ _SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
 _GROUPS = re.compile(r"replica_groups=\{\{([^}]*)\}")
 
 
-def collect_hlo_bytes(n_devices: int) -> dict:
-    """Run a subprocess that compiles the d=8 step on virtual CPU devices
-    and prints the optimized HLO; parse collective wire bytes."""
+def collect_hlo_bytes(n_devices: int, residue: int = 2) -> dict:
+    """Run a subprocess that compiles the production step on ``n_devices``
+    virtual CPU devices with a ``residue x (n_devices/residue)`` mesh and
+    prints the optimized HLO; parse collective wire bytes."""
     code = f"""
 import os, sys
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
@@ -63,7 +64,7 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from __graft_entry__ import make_sharded_rotation_step
 step, (lwe, acc, bsk), _ = make_sharded_rotation_step(
-    {n_devices}, log_n=10, n_lwe=4, batch=16, residue=2)
+    {n_devices}, log_n=10, n_lwe=4, batch=16, residue={residue})
 txt = step.lower(lwe, acc, bsk).compile().as_text()
 print("<<<HLO>>>")
 print(txt)
@@ -182,7 +183,10 @@ def main():
     import jax
 
     n_dev = 8
-    hlo = collect_hlo_bytes(n_dev)
+    hlo = collect_hlo_bytes(n_dev, residue=2)
+    # mesh-shape contrast: the batch axis must be collective-free (pure
+    # data parallel); the residue axis carries the CRT-compose traffic
+    hlo_dp = collect_hlo_bytes(n_dev, residue=1)
     t1 = measure_single_chip_step()
     backend = jax.default_backend()
 
@@ -218,6 +222,14 @@ def main():
             "collective_count": sum(
                 v["count"] for v in hlo["by_kind"].values()
             ),
+            "mesh_contrast": {
+                "residue2_batch4_wire_bytes": wire,
+                "residue1_batch8_wire_bytes": hlo_dp["total_wire_bytes"],
+                "note": (
+                    "the batch (data-parallel) axis is collective-free; "
+                    "all step traffic is residue-axis CRT compose"
+                ),
+            },
         },
     }
     print(json.dumps({k: v for k, v in record.items()
