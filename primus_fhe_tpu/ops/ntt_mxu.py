@@ -997,7 +997,7 @@ def _pad_batch(values: U64, n: int, tile: int):
     # keep tile >= 2: a single-poly tile produces degenerate chunk shapes
     # that trip an XLA-CPU fusion bug in interpret mode (i8/i32 mixed add
     # in the lowered LLVM IR); one padded row is cheap
-    tile = min(tile, max(b, 2))
+    tile = max(min(tile, max(b, 2)), 2)
     pad = (-b) % tile
     if pad:
         vlo = jnp.concatenate([vlo, jnp.zeros((pad, n), jnp.uint32)])

@@ -377,21 +377,26 @@ def _u_bounds(bias: int, planes: int):
 
 
 def _fold_ok(planes: int, bounds, sol) -> bool:
-    """Eligibility of the fused planes→representative fast path."""
-    if not sol or planes not in (4, 7, 8):
+    """Eligibility of the fused planes→representative fast path.
+
+    Only the 7/8-plane tiers qualify: the fold needs a Solinas form with
+    exponent ``a > 32`` (``_mxu8_solinas``), which no ``q < 2^30``
+    4-plane modulus has.  The u32 tier instead takes the ``u32_tier``
+    skips in :func:`_twiddle8`/:func:`_finish8` (its recombined high
+    half is identically zero)."""
+    if not sol or planes not in (7, 8):
         return False
     low_b, high_b, smax = bounds
     if smax * 257 + (1 << 16) >= 1 << 32:
         return False
-    if planes == 4:  # no high half to fold
-        return True
     a, b = sol
     return 17 <= a - 32 < 32 and b < 32 and high_b <= (1 << a)
 
 
 def _planes_to_y(digs, bias: int, bounds, sol):
     """7/8 biased digit planes → one folded mod-q representative (u64
-    pair), fusing the 16-bit-group packing with the 2^32 Solinas fold.
+    pair), fusing the 16-bit-group packing with the 2^32 Solinas fold
+    (4-plane callers never reach here — see :func:`_fold_ok`).
 
     The high half is ``V_H = lo16(e45) + uu·2^16`` with
     ``uu = (e45 >> 16) + e6`` (7 planes) or ``+ e67`` (8); its shifted
@@ -410,8 +415,6 @@ def _planes_to_y(digs, bias: int, bounds, sol):
     e01 = du[0] + (du[1] << 8) + b2
     e23 = du[2] + (du[3] << 8) + b2
     vl = _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
-    if len(du) == 4:  # u32 tier: the packed low half IS the value
-        return vl
     e45 = du[4] + (du[5] << 8) + b2
     top = (
         du[6] + np.uint32(bias)
@@ -429,19 +432,23 @@ def _planes_to_y(digs, bias: int, bounds, sol):
 
 def _twiddle8(
     q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc,
-    high_bound: int | None = None, y=None,
+    high_bound: int | None = None, y=None, u32_tier: bool = False,
 ):
     """Twiddle on biased halves: Solinas folds + corr-add + ONE Shoup
     (output < 4q); general q: two narrow Shoups (reduced once to < 4q) +
     precomputed corr*T add (output < 5q — fits the byte split range).
     ``y`` short-circuits the fold when the caller already holds the
-    fused planes→representative value (:func:`_planes_to_y`)."""
+    fused planes→representative value (:func:`_planes_to_y`);
+    ``u32_tier`` (4 planes) drops the high-half Shoup — the recombined
+    high half of a 4-plane digit sum is identically zero."""
     if sol:
         if y is None:
             y = _fold32(v_lo, v_hi, sol, high_bound)
         y = _add64(*y, *corr)
         return shoup(*y, *t_t, *qc)
     m1 = narrow(*v_lo, *t_t, *qc)
+    if u32_tier:
+        return _add64(*m1, *ct_t)  # m1 < 4q; output < 5q as below
     m2 = narrow(*v_hi, *t32_t, *qc)
     if 8 * q >= 1 << 64:  # 61/62-bit tier: keep every sum inside u64
         m1 = _reduce_once64(*m1, *_const64(2 * q))
@@ -453,7 +460,8 @@ def _twiddle8(
 
 
 def _finish8(
-    q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc, y=None
+    q, sol, shoup, narrow, v2l, v2h, corr, bounds, out_factor, qc, y=None,
+    u32_tier: bool = False,
 ):
     """Final fold of pass-2 halves + correction down to the output range."""
     low_b, high_b, _ = bounds
@@ -463,10 +471,13 @@ def _finish8(
         bound = _fold32_bound(low_b, high_b, sol) + q
         rlo, rhi = _solinas_down(r, bound, sol, q)
     else:
-        mh = narrow(*v2h, *_sconst((1 << 32) % q, q), *qc)
-        if 8 * q >= 1 << 64:  # 61/62-bit tier: v2l + mh + corr must fit u64
-            mh = _reduce_once64(*mh, *_const64(2 * q))
-        t = _add64(*_add64(*v2l, *mh), *corr)
+        if u32_tier:  # 4-plane high half is identically zero: skip it
+            t = _add64(*v2l, *corr)
+        else:
+            mh = narrow(*v2h, *_sconst((1 << 32) % q, q), *qc)
+            if 8 * q >= 1 << 64:  # 61/62-bit tier: sums must fit u64
+                mh = _reduce_once64(*mh, *_const64(2 * q))
+            t = _add64(*_add64(*v2l, *mh), *corr)
         rlo, rhi = shoup(*t, *_sconst(1, q), *qc)  # Barrett, [0,4q)
         if out_factor <= 2:
             rlo, rhi = _reduce_once64(rlo, rhi, *_const64(2 * q))
@@ -511,6 +522,7 @@ def _unpack_tabs(rest, sol):
 
 def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
     q, A, B, P = plan.q, plan.A, plan.B, plan.planes
+    u32t = P == 4
     sol = _mxu8_solinas(q)
     shoup = _make_shoup_lazy64(q, exact=False)
     narrow = _make_shoup_narrow64(q)
@@ -556,6 +568,7 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     None if y else (v_hi[0][:, lanes], v_hi[1][:, lanes]),
                     c1, t_t, t32, ct, qc, b1[1],
                     y=(y[0][:, lanes], y[1][:, lanes]) if y else None,
+                    u32_tier=u32t,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=1)
@@ -569,12 +582,13 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                 y = _planes_to_y(d2, plan.bias_f2, b2, sol)
                 rlo, rhi = _finish8(
                     q, sol, shoup, narrow, None, None, c2, b2, out_factor,
-                    qc, y=y,
+                    qc, y=y, u32_tier=u32t,
                 )
             else:
                 v2l, v2h = _recombine_bytes(d2, plan.bias_f2, b2[2])
                 rlo, rhi = _finish8(
-                    q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc
+                    q, sol, shoup, narrow, v2l, v2h, c2, b2, out_factor, qc,
+                    u32_tier=u32t,
                 )
             rows = slice(g * cs * A, (g + 1) * cs * A)
             olo_ref[rows, :] = rlo
@@ -590,6 +604,7 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
 def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool):
     q, A, B, P = plan.q, plan.Ai, plan.Bi, plan.planes
+    u32t = P == 4
     sol = _mxu8_solinas(q)
     shoup = _make_shoup_lazy64(q, exact=False)
     narrow = _make_shoup_narrow64(q)
@@ -642,6 +657,7 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
                     None if y else (v_hi[0][rows, :], v_hi[1][rows, :]),
                     c1, t_t, t32, ct, qc, b1[1],
                     y=(y[0][rows, :], y[1][rows, :]) if y else None,
+                    u32_tier=u32t,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
@@ -667,6 +683,7 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
                     None if yf else (v2h[0][:, lanes], v2h[1][:, lanes]),
                     c2, b2, out_factor, qc,
                     y=(yf[0][:, lanes], yf[1][:, lanes]) if yf else None,
+                    u32_tier=u32t,
                 )
                 los.append(rlo)
                 his.append(rhi)
@@ -686,6 +703,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
     one kernel (the negacyclic multiply-by-fixed-operand,
     crates/primus_lattice/src/rlwe/coeff.rs:114-116)."""
     q, A, B, P = plan.q, plan.A, plan.B, plan.planes
+    u32t = P == 4
     sol = _mxu8_solinas(q)
     shoup = _make_shoup_lazy64(q, exact=False)
     narrow = _make_shoup_narrow64(q)
@@ -746,6 +764,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     None if y else (v_hi[0][:, lanes], v_hi[1][:, lanes]),
                     cf1, t_t, t32, ct, qc, bf1[1],
                     y=(y[0][:, lanes], y[1][:, lanes]) if y else None,
+                    u32_tier=u32t,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=1)
@@ -787,7 +806,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                         q, sol, shoup, narrow,
                         (v2l[0][rows, :], v2l[1][rows, :]),
                         (v2h[0][rows, :], v2h[1][rows, :]),
-                        cf2, bf2, 4, qc,
+                        cf2, bf2, 4, qc, u32_tier=u32t,
                     )
                 vlo, vhi = shoup(flo, fhi, *m_t, *qc)  # * key, < 4q
                 parts.append(
@@ -816,6 +835,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     None if y else (v_hi[0][rows, :], v_hi[1][rows, :]),
                     ci1, t_t, t32, ct, qc, bi1[1],
                     y=(y[0][rows, :], y[1][rows, :]) if y else None,
+                    u32_tier=u32t,
                 )
                 parts.append(
                     jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
@@ -841,6 +861,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     None if yf else (v2h[0][:, lanes], v2h[1][:, lanes]),
                     ci2, bi2, out_factor, qc,
                     y=(yf[0][:, lanes], yf[1][:, lanes]) if yf else None,
+                    u32_tier=u32t,
                 )
                 los.append(rlo)
                 his.append(rhi)

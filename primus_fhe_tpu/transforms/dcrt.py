@@ -352,9 +352,9 @@ def _mxu_plan64(log_n: int, q: int):
     return Mxu8NttPlan64(log_n, q)
 
 
-def _mxu_ok(log_n: int, q: int, out_factor: int = 4) -> bool:
+def _mxu_ok(log_n: int, q: int) -> bool:
     """Byte-radix MXU tier: q < 2^62 (8 planes; 7 planes when q < 2^53,
-    which also caps lazy inputs at 2^56 — out_factor*q <= 4q < 2^55 fits;
+    whose 2^56 input cap always admits lazy inputs up to 4q < 2^55;
     4 planes when q < 2^30) and a lane-aligned split (B = 128 needs
     log_n >= 8)."""
     return q < (1 << 62) and log_n >= 8

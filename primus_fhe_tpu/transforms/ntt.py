@@ -272,3 +272,62 @@ def negacyclic_mul64(plan: NttPlan64, m, a: U64, b: U64) -> U64:
     fa = forward64(plan, a)
     fb = forward64(plan, b)
     return inverse64(plan, mul64(fa, fb, m))
+
+
+# ---------------------------------------------------------------------------
+# Normal-order convenience variants (reference order-variant parity)
+# ---------------------------------------------------------------------------
+
+
+def _bit_reverse_indices(log_n: int):
+    """Static bit-reversal permutation of ``[0, 2^log_n)`` (host numpy)."""
+    import numpy as np
+
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+def bit_reverse_permute(values, log_n: int):
+    """Reorders the last axis by bit-reversed index (static gather).
+
+    The device counterpart of the reference's order-conversion step
+    between its normal-order and bit-reversed ``NttTable`` entry points
+    (``crates/primus_ntt/src/ntt/primitive.rs:27-48``; util
+    ``src/reverse.rs:3-32``).  The permutation is its own inverse.
+    Convenience path: the hot pipelines keep the bit-reversed contract
+    end-to-end and never pay this gather.
+    """
+    rev = jnp.asarray(_bit_reverse_indices(log_n))
+    if isinstance(values, U64):
+        return U64(values.lo[..., rev], values.hi[..., rev])
+    return values[..., rev]
+
+
+@functools.partial(jax.jit, static_argnames=("out_factor",))
+def forward32_normal_order(plan: NttPlan32, values, out_factor: int = 1):
+    """Forward NTT with NORMAL-ORDER output (reference's normal-order
+    entry point, ``primitive.rs:27-48``): the fast bit-reversed transform
+    followed by the static bit-reversal permutation."""
+    return bit_reverse_permute(forward32(plan, values, out_factor), plan.log_n)
+
+
+@functools.partial(jax.jit, static_argnames=("out_factor",))
+def inverse32_normal_order(plan: NttPlan32, values, out_factor: int = 1):
+    """Inverse NTT taking NORMAL-ORDER NTT-domain input."""
+    return inverse32(plan, bit_reverse_permute(values, plan.log_n), out_factor)
+
+
+@functools.partial(jax.jit, static_argnames=("out_factor",))
+def forward64_normal_order(plan: NttPlan64, values: U64, out_factor: int = 1) -> U64:
+    """64-bit forward NTT with NORMAL-ORDER output."""
+    return bit_reverse_permute(forward64(plan, values, out_factor), plan.log_n)
+
+
+@functools.partial(jax.jit, static_argnames=("out_factor",))
+def inverse64_normal_order(plan: NttPlan64, values: U64, out_factor: int = 1) -> U64:
+    """64-bit inverse NTT taking NORMAL-ORDER NTT-domain input."""
+    return inverse64(plan, bit_reverse_permute(values, plan.log_n), out_factor)
