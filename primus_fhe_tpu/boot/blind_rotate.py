@@ -78,8 +78,13 @@ def blind_rotate(
     ``acc = (0, v * X^{-b})``; for each mask element
     ``acc <- acc + (acc * X^{a_i} - acc) ⊡ BSK_i``.
     """
-    n_lwe = bsk_ntt.shape[0]
-    kp, k1, level, k1b, n = bsk_ntt.shape[1:]
+    if isinstance(bsk_ntt, (tuple, list)):  # MXU key pack (vals, precons)
+        n_lwe = bsk_ntt[0].shape[0]
+        kp, k1, level, k1b = bsk_ntt[0].shape[1:5]
+        n = bsk_ntt[0].shape[5] * bsk_ntt[0].shape[6]
+    else:
+        n_lwe = bsk_ntt.shape[0]
+        kp, k1, level, k1b, n = bsk_ntt.shape[1:]
     batch = lwe_switched.shape[:-1]
 
     b = lwe_switched[..., n_lwe]
@@ -87,7 +92,37 @@ def blind_rotate(
     acc = jnp.zeros(batch + (k1, n), dtype=_U32)
     acc = acc.at[..., -1, :].set(v_rot)
 
-    use_fused = getattr(conv, "use_pallas", False)
+    use_mxu = isinstance(bsk_ntt, (tuple, list))
+    use_fused = getattr(conv, "use_pallas", False) and not use_mxu
+
+    if use_mxu:
+        # single-kernel MXU CMux scan in four-step natural layout — the
+        # accumulator never leaves the (poly*A, B) layout between steps
+        # (see ops/cmux_mxu.py)
+        from ..ops.cmux_mxu import get_plan, mxu_cmux_step_nat
+
+        kv, kpre = bsk_ntt
+        plan = get_plan(conv.log_n, tuple(conv.primes), conv.product)
+        crt = plan.crt_consts(conv.product)
+        A, B = plan.A, plan.B
+        acc_nat = acc.reshape((-1, k1, A, B))
+        bsz = acc_nat.shape[0]
+        level = basis.decompose_length
+
+        def body_mxu(a, x):
+            a_i, kv_i, kp_i = x
+            d3 = jnp.asarray(a_i, jnp.int32).reshape(-1)
+            d3 = jnp.broadcast_to(d3, (bsz,)) % (2 * n)
+            return (
+                mxu_cmux_step_nat(
+                    plan, basis, crt, a, d3, kv_i, kp_i, k1, level
+                ),
+                None,
+            )
+
+        a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)
+        acc_nat, _ = jax.lax.scan(body_mxu, acc_nat, (a_t, kv, kpre))
+        return acc_nat.reshape(batch + (k1, n))
 
     def body(acc, x):
         a_i, bsk_i = x
@@ -130,6 +165,23 @@ def make_bootstrap_key(key, lwe_secret, glwe_secret, basis, gaussian, conv):
     # (kp, ..., N), so move the prime axis behind the BSK index.
     f = conv.forward(ggsw_all)
     return jnp.moveaxis(f, 0, 1)
+
+
+def make_bootstrap_key_mxu(key, lwe_secret, glwe_secret, basis, gaussian, conv):
+    """BSK for the MXU CMux path: ``(vals, precons)`` in the byte-radix
+    four-step's natural NTT order plus device-exact Shoup precons
+    (``ops/cmux_mxu.prepare_mxu_bsk``).  Same GGSW material as
+    :func:`make_bootstrap_key` — only the transform order and the
+    precomputed multiplier tables differ."""
+    from ..lattice.tfhe import ggsw_encrypt_torus
+    from ..ops.cmux_mxu import prepare_mxu_bsk
+
+    n_lwe = lwe_secret.shape[0]
+    keys = jax.random.split(key, n_lwe)
+    ggsw_all = jax.vmap(
+        lambda kk, s_i: ggsw_encrypt_torus(kk, s_i, glwe_secret, basis, gaussian, conv)
+    )(keys, lwe_secret)  # (n_lwe, k+1, L, k+1, N)
+    return prepare_mxu_bsk(conv, ggsw_all)
 
 
 def test_polynomial(n: int, message_bits: int) -> np.ndarray:
