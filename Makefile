@@ -1,8 +1,11 @@
 # Developer entry points. See CLAUDE.md for environment gotchas.
-.PHONY: test bench bench-boot bench-scaling native clean
+.PHONY: test test-all bench bench-boot bench-scaling native clean
 
 test:
 	python -m pytest tests/ -q
+
+test-all:
+	python -m pytest tests/ -q -m ""
 
 bench:
 	python bench.py

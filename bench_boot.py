@@ -45,11 +45,26 @@ def main():
     lwe_secret = (jax.random.bits(k1, (N_LWE,), dtype=jnp.uint32) & 1).astype(jnp.uint32)
     glwe_secret = (jax.random.bits(k2, (K, N), dtype=jnp.uint32) & 1).astype(jnp.uint32)
 
+    # default path on TPU: the single-kernel MXU CMux (ops/cmux_mxu.py);
+    # BOOT_PATH=ref forces the round-3 VPU-butterfly fused step
+    use_mxu = (
+        os.environ.get("BOOT_PATH", "mxu") == "mxu"
+        and jax.default_backend() == "tpu"
+        and LOG_N >= 8
+    )
     t0 = time.perf_counter()
-    bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gauss, conv)
+    if use_mxu:
+        from primus_fhe_tpu.boot.blind_rotate import make_bootstrap_key_mxu
+
+        bsk = make_bootstrap_key_mxu(k3, lwe_secret, glwe_secret, basis, gauss, conv)
+        shape = bsk[0].shape
+    else:
+        bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gauss, conv)
+        shape = bsk.shape
     jax.block_until_ready(bsk)
-    print(f"[bench_boot] bsk {bsk.shape} built in {time.perf_counter()-t0:.1f}s "
-          f"primes={conv.primes} pallas={conv.use_pallas}", file=sys.stderr)
+    print(f"[bench_boot] bsk {shape} built in {time.perf_counter()-t0:.1f}s "
+          f"primes={conv.primes} pallas={conv.use_pallas} path={'mxu' if use_mxu else 'ref'}",
+          file=sys.stderr)
 
     test_poly = jnp.full(N, 1 << 28, dtype=jnp.uint32)
     # half the batch encrypts +1/8, half -1/8 so output signs are checkable
@@ -111,6 +126,7 @@ def main():
         "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
         "sign_check": "ok",
+        "path": "cmux-mxu" if use_mxu else "cmux-fused-vpu",
     }
     print(json.dumps(record))
 

@@ -167,20 +167,26 @@ def make_bootstrap_key(key, lwe_secret, glwe_secret, basis, gaussian, conv):
     return jnp.moveaxis(f, 0, 1)
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _bsk_coeff(key, lwe_secret, glwe_secret, basis, gaussian, conv):
+    from ..lattice.tfhe import ggsw_encrypt_torus
+
+    n_lwe = lwe_secret.shape[0]
+    keys = jax.random.split(key, n_lwe)
+    return jax.vmap(
+        lambda kk, s_i: ggsw_encrypt_torus(kk, s_i, glwe_secret, basis, gaussian, conv)
+    )(keys, lwe_secret)  # (n_lwe, k+1, L, k+1, N)
+
+
 def make_bootstrap_key_mxu(key, lwe_secret, glwe_secret, basis, gaussian, conv):
     """BSK for the MXU CMux path: ``(vals, precons)`` in the byte-radix
     four-step's natural NTT order plus device-exact Shoup precons
     (``ops/cmux_mxu.prepare_mxu_bsk``).  Same GGSW material as
     :func:`make_bootstrap_key` — only the transform order and the
     precomputed multiplier tables differ."""
-    from ..lattice.tfhe import ggsw_encrypt_torus
     from ..ops.cmux_mxu import prepare_mxu_bsk
 
-    n_lwe = lwe_secret.shape[0]
-    keys = jax.random.split(key, n_lwe)
-    ggsw_all = jax.vmap(
-        lambda kk, s_i: ggsw_encrypt_torus(kk, s_i, glwe_secret, basis, gaussian, conv)
-    )(keys, lwe_secret)  # (n_lwe, k+1, L, k+1, N)
+    ggsw_all = _bsk_coeff(key, lwe_secret, glwe_secret, basis, gaussian, conv)
     return prepare_mxu_bsk(conv, ggsw_all)
 
 

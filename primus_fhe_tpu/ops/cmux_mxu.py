@@ -37,6 +37,7 @@ scan) — differential-tested bit-exactly in ``tests/test_cmux_mxu.py``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -593,9 +594,16 @@ def _fit_tile(total: int, tile: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("plan", "basis", "crt", "k1", "level", "tile_b")
 )
+_DEFAULT_TILE_B = int(os.environ.get("CMUX_MXU_TILE", "8"))
+
+
+def default_tile_b() -> int:
+    return _DEFAULT_TILE_B
+
+
 def mxu_cmux_step_nat(
     plan: CmuxMxuPlan, basis, crt, acc_nat, degrees, key_vals, key_precons,
-    k1: int, level: int, tile_b: int = 8,
+    k1: int, level: int, tile_b: int | None = None,
 ):
     """One CMux step in natural layout.
 
@@ -607,7 +615,7 @@ def mxu_cmux_step_nat(
     bsz = acc_nat.shape[0]
     A, B = plan.A, plan.B
     kp = len(plan.primes)
-    tile_b = _fit_tile(bsz, tile_b)
+    tile_b = _fit_tile(bsz, _DEFAULT_TILE_B if tile_b is None else tile_b)
     grid = (bsz // tile_b,)
     R = tile_b * k1 * A
 

@@ -18,6 +18,8 @@ from primus_fhe_tpu.decompose import ApproxSignedBasis32
 from primus_fhe_tpu.distr.sampling import DiscreteGaussian
 from primus_fhe_tpu.lattice import glwe as glwe_mod, tfhe
 
+pytestmark = pytest.mark.slow
+
 LOG_N, N, K, N_LWE = 5, 32, 1, 8
 LB_PBS, LV_PBS = 8, 3
 LB_CB, LV_CB = 8, 2

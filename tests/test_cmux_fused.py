@@ -56,6 +56,7 @@ def test_fused_step_matches_composed(setup):
         np.testing.assert_array_equal(got[i], want)
 
 
+@pytest.mark.slow
 def test_fused_step_batch_sizes(setup):
     basis, conv, key_ntt, _ = setup
     from primus_fhe_tpu.ops.cmux_fused import fused_cmux_step

@@ -116,6 +116,7 @@ def test_mxu_cmux_degree_zero_and_extremes(setup):
     assert (np.asarray(out.reshape(bsz, K1, N)) == want).all()
 
 
+@pytest.mark.slow
 def test_full_bootstrap_mxu_key(setup):
     """End-to-end: blind rotation with the MXU key pack must decrypt to
     the correct sign, and match the composed-path output bit-exactly."""

@@ -20,6 +20,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from primus_fhe_tpu.numeric import to_u64_pair
 from primus_fhe_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow
+
 MODULI = [1125899906826241, 1125899906629633]
 
 _COLLECTIVES = re.compile(

@@ -21,6 +21,8 @@ from primus_fhe_tpu.transforms.dcrt import (
     dcrt_inverse64,
 )
 
+pytestmark = pytest.mark.slow
+
 rng = random.Random(77)
 
 LOG_N = 4

@@ -18,6 +18,8 @@ from primus_fhe_tpu.numeric import U64, from_u64_pair, to_u64_pair
 from primus_fhe_tpu.rns import RNSBase64
 from primus_fhe_tpu.transforms.dcrt import build_dcrt_plan64, dcrt_forward64, dcrt_inverse64
 
+pytestmark = pytest.mark.slow
+
 rng = random.Random(404)
 
 LOG_N = 4

@@ -109,6 +109,7 @@ def test_high_precision_cdt_ks(sigma):
     assert max_cdf_distance(s, sigma, int(6 * sigma)) < 0.008
 
 
+@pytest.mark.slow
 def test_cross_validation_cdt_ziggurat_hp():
     """Device CDT, host Ziggurat, and high-precision CDT draw from the
     same distribution at sigma=20 (three-way empirical CDF agreement)."""

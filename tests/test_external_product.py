@@ -15,6 +15,7 @@ from primus_fhe_tpu.decompose import ApproxSignedBasis32
 from primus_fhe_tpu.distr.sampling import DiscreteGaussian
 from primus_fhe_tpu.lattice import glwe as glwe_mod
 from primus_fhe_tpu.lattice import tfhe
+import pytest
 
 LOG_N = 5
 N = 1 << LOG_N
@@ -39,6 +40,7 @@ def _centered(x):
     return np.where(x >= 1 << 31, x - (1 << 32), x)
 
 
+@pytest.mark.slow
 def test_external_product_by_one():
     basis, conv, gauss, secret, kg, ke, km = _setup(1)
     # message in the high bits: Delta = 2^28, small payload

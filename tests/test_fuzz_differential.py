@@ -19,6 +19,9 @@ from primus_fhe_tpu.transforms import (
     inverse64,
 )
 from primus_fhe_tpu.utils.primes import next_ntt_prime
+import pytest
+
+pytestmark = pytest.mark.slow
 
 rng = random.Random(0xFADE)
 

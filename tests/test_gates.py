@@ -21,6 +21,8 @@ from primus_fhe_tpu.distr.sampling import DiscreteGaussian
 from primus_fhe_tpu.lattice import keyswitch, tfhe
 from primus_fhe_tpu.lattice.lwe import phase_torus32
 
+pytestmark = pytest.mark.slow
+
 LOG_N = 5
 N = 1 << LOG_N
 K = 1

@@ -13,6 +13,7 @@ from primus_fhe_tpu.lattice.glwe_keyswitch import (
 )
 from primus_fhe_tpu.lattice.tfhe import external_product_bound_bits
 from primus_fhe_tpu.transforms.torus import TorusConvolver32
+import pytest
 
 LOG_N, N = 5, 32
 K_IN, K_OUT = 2, 1
@@ -24,6 +25,7 @@ def _centered(x):
     return np.where(x >= 1 << 31, x - (1 << 32), x)
 
 
+@pytest.mark.slow
 def test_glwe_key_switch_preserves_phase():
     basis = ApproxSignedBasis32(None, LB, reverse_length=LV)
     conv = TorusConvolver32(
@@ -47,6 +49,7 @@ def test_glwe_key_switch_preserves_phase():
     assert np.abs(err).max() < delta // 4, np.abs(err).max()
 
 
+@pytest.mark.slow
 def test_pack_lwes():
     """Pack 4 LWEs into one GLWE: coefficients 0..3 decrypt the messages."""
     from primus_fhe_tpu.lattice.glwe_keyswitch import (

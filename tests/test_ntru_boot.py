@@ -58,6 +58,7 @@ def setup():
     return ctx, sk, gauss, lwe_secret, evk
 
 
+@pytest.mark.slow
 def test_keygen_invertible(setup):
     ctx, sk, *_ = setup
     # f * f^-1 == 1 in the NTT domain

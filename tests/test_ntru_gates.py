@@ -26,6 +26,8 @@ from primus_fhe_tpu.decompose import ApproxSignedBasis32
 from primus_fhe_tpu.distr.sampling import DiscreteGaussian
 from primus_fhe_tpu.utils.primes import next_ntt_prime
 
+pytestmark = pytest.mark.slow
+
 LOG_N = 9
 N = 1 << LOG_N
 Q = next_ntt_prime(30, LOG_N)

@@ -24,6 +24,8 @@ from primus_fhe_tpu.transforms import (
     monomial32,
 )
 
+pytestmark = pytest.mark.slow
+
 rng = random.Random(2048)
 
 

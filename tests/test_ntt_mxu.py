@@ -66,6 +66,7 @@ def test_mxu_rejects_large_q():
         MxuNttPlan64(10, 1152921504606830593)  # 60-bit: beyond 8-limb bound
 
 
+@pytest.mark.slow
 def test_mxu_fused_matches_golden():
     from primus_fhe_tpu.ops.ntt_mxu import mxu_fused_forward64
 
@@ -120,6 +121,7 @@ def test_mxu_inverse_matches_golden(log_n, q):
         assert [int(x) for x in outf[row]] == expect, ("fused", row)
 
 
+@pytest.mark.slow
 def test_mxu_roundtrip_lazy():
     """fwd (lazy out) -> inv accepts the lazy representative; exact values."""
     from primus_fhe_tpu.ops.ntt_mxu import mxu_fused_inverse64
@@ -139,6 +141,7 @@ def test_mxu_roundtrip_lazy():
     assert ((lazy % q) == vals).all()
 
 
+@pytest.mark.slow
 def test_mxu_fused_inverse_mul():
     """Fused pointwise-multiply + inverse == golden pointwise then inverse,
     for both a Solinas and a general prime."""

@@ -20,9 +20,10 @@ from primus_fhe_tpu.parallel.overlap import (
 from primus_fhe_tpu.rns import RNSBase64
 from primus_fhe_tpu.transforms.dcrt import build_dcrt_plan64
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices"),
+    pytest.mark.slow,
+]
 
 MODULI = [1125899906826241, 1125899906629633]
 

@@ -18,6 +18,8 @@ from primus_fhe_tpu.ops.ntt_pallas import (
 )
 from primus_fhe_tpu.transforms import build_plan64, forward64, inverse64
 
+pytestmark = pytest.mark.slow
+
 Q = 1125899906826241
 rng = np.random.default_rng(0xABC)
 
