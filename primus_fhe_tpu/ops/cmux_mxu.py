@@ -591,9 +591,6 @@ def _fit_tile(total: int, tile: int) -> int:
     return tile
 
 
-@functools.partial(
-    jax.jit, static_argnames=("plan", "basis", "crt", "k1", "level", "tile_b")
-)
 _DEFAULT_TILE_B = int(os.environ.get("CMUX_MXU_TILE", "8"))
 
 
@@ -601,6 +598,9 @@ def default_tile_b() -> int:
     return _DEFAULT_TILE_B
 
 
+@functools.partial(
+    jax.jit, static_argnames=("plan", "basis", "crt", "k1", "level", "tile_b")
+)
 def mxu_cmux_step_nat(
     plan: CmuxMxuPlan, basis, crt, acc_nat, degrees, key_vals, key_precons,
     k1: int, level: int, tile_b: int | None = None,
