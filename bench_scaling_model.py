@@ -1,32 +1,40 @@
 #!/usr/bin/env python
-"""Modeled multi-chip scaling efficiency at 8 devices (the ≥80% north star).
+"""Modeled multi-chip scaling efficiency curves (the ≥80% north star).
 
 Real multi-chip hardware is unavailable here (one chip behind a tunnel),
-so this produces the strongest available substitute, per the round-2
-verdict: an analytic bytes-over-ICI model whose inputs are all measured
-or compiler-derived, not guessed:
+so this produces the strongest available substitute: an analytic
+bytes-over-ICI model whose inputs are all measured or compiler-derived,
+not guessed — hardened per the round-3 verdict:
 
-1. **Collective bytes, d=8** — the production-dim sharded blind-rotation
-   step (``__graft_entry__.make_sharded_rotation_step``: N=1024, 2x50-bit,
-   L=4, batch=16, mesh = residue(2) x batch(4)) is compiled for 8 virtual
-   devices and every collective in the optimized HLO is tallied with its
-   shape, dtype and group size.  Per-device wire bytes use the standard
-   ring costs: all-reduce 2(g-1)/g * S, all-gather / reduce-scatter
-   (g-1)/g * S, collective-permute / all-to-all S.
-2. **Compute time, 1 chip** — the SAME step (unsharded) is timed on the
-   real TPU chip with the difference-of-workloads protocol; per-device
-   compute at d=8 is T1/8 (strong scaling; per-device shard = 1/8 of the
-   batch x residue work, all of it collective-free per the HLO structure
-   tests).
-3. **ICI time** — per-device bytes / 45 GB/s (one v5e ICI link per axis
-   neighbor, one-direction; residue partners are 1 hop on a pod slice).
-   Reported both fully exposed (worst case) and overlapped with the
-   measured d=2 overlap factor from bench_overlap.py's scheduling
-   (collectives issued before level compute).
+1. **Collective bytes** — the production-dim sharded blind-rotation step
+   (``__graft_entry__.make_sharded_rotation_step``: N=1024, 2x50-bit RNS
+   residues, L=4, batch=16, **n_lwe=128 compiled for real** — the
+   full-length ``lax.scan`` is in the optimized HLO, no extrapolation)
+   is compiled for each device count d in {2, 4, 8, 16} at TWO mesh
+   shapes (residue=2 x batch=d/2, and the pure-data-parallel residue=1 x
+   batch=d), and every collective in the optimized HLO is tallied with
+   its shape, dtype, and group size.  Ring costs per device: all-reduce
+   2(g-1)/g*S, all-gather (g-1)/g*S, reduce-scatter (g-1)*S_shard,
+   permute/all-to-all S.
+2. **Compute time, 1 chip** — the SAME step is timed on the real TPU at
+   two scan lengths; the difference isolates seconds per CMux trip
+   (dispatch constants cancel).  Per-device compute at d = t_trip/d
+   (strong scaling over the residue x batch shards, collective-free per
+   the HLO structure tests).
+3. **Wire time** — per-device bytes / link bandwidth.  ICI sensitivity
+   band {22.5, 45, 90} GB/s; overlap fraction in {0, 0.29 (the d=2
+   measurement from bench_overlap.py)}.  The pessimistic corner
+   (22.5 GB/s, zero overlap) is reported explicitly.
+4. **Multi-host (DCN) term** — with the (batch outer, residue inner)
+   mesh, the residue all-reduce groups (size 2) are intra-host on any
+   sane placement, and the batch axis is collective-free, so ZERO step
+   bytes cross DCN; the model also prices the adversarial placement
+   (residue partners split across hosts, every wire byte on DCN at
+   25 GB/s) so the claim is falsifiable rather than silent.
 
-   modeled efficiency = T_comp/8 / (T_comp/8 + T_ici_exposed)
+   efficiency(d) = t_comp(d) / (t_comp(d) + t_wire_exposed(d))
 
-Writes ``SCALING_MODEL_r{PRIMUS_ROUND}.json`` with the full derivation.
+Writes ``SCALING_MODEL_r{PRIMUS_ROUND}.json`` with curves + derivation.
 """
 
 import json
@@ -36,7 +44,10 @@ import subprocess
 import sys
 import time
 
-ICI_BYTES_PER_S = 45e9  # v5e ICI, one link one-way
+ICI_BYTES_PER_S = 45e9  # v5e ICI, one link one-way (center of the band)
+ICI_BAND = (22.5e9, 45e9, 90e9)
+DCN_BYTES_PER_S = 25e9
+N_LWE = 128
 DTYPE_BYTES = {
     "u8": 1, "s8": 1, "pred": 1, "u16": 2, "s16": 2, "bf16": 2, "f16": 2,
     "u32": 4, "s32": 4, "f32": 4, "u64": 8, "s64": 8, "f64": 8,
@@ -51,10 +62,10 @@ _SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
 _GROUPS = re.compile(r"replica_groups=\{\{([^}]*)\}")
 
 
-def collect_hlo_bytes(n_devices: int, residue: int = 2) -> dict:
-    """Run a subprocess that compiles the production step on ``n_devices``
-    virtual CPU devices with a ``residue x (n_devices/residue)`` mesh and
-    prints the optimized HLO; parse collective wire bytes."""
+def collect_hlo_bytes(n_devices: int, residue: int) -> dict:
+    """Compile the production step (n_lwe=128 scan) on ``n_devices``
+    virtual CPU devices with a ``residue x (n_devices/residue)`` mesh;
+    parse per-device collective wire bytes from the optimized HLO."""
     code = f"""
 import os, sys
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
@@ -64,7 +75,7 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from __graft_entry__ import make_sharded_rotation_step
 step, (lwe, acc, bsk), _ = make_sharded_rotation_step(
-    {n_devices}, log_n=10, n_lwe=4, batch=16, residue={residue})
+    {n_devices}, log_n=10, n_lwe={N_LWE}, batch=16, residue={residue})
 txt = step.lower(lwe, acc, bsk).compile().as_text()
 print("<<<HLO>>>")
 print(txt)
@@ -74,10 +85,10 @@ print(txt)
         timeout=1500, check=True,
     )
     txt = out.stdout.split("<<<HLO>>>", 1)[1]
-    return parse_collective_bytes(txt)
+    return parse_collective_bytes(txt, scan_trips=N_LWE)
 
 
-def parse_collective_bytes(txt: str, scan_trips: int = 4) -> dict:
+def parse_collective_bytes(txt: str, scan_trips: int = N_LWE) -> dict:
     """Tally per-device collective wire bytes from optimized-HLO text.
     ``scan_trips`` multiplies collectives inside while bodies (the scan
     over LWE positions prints its body once)."""
@@ -100,17 +111,13 @@ def parse_collective_bytes(txt: str, scan_trips: int = 4) -> dict:
             continue
         gm = _GROUPS.search(line)
         g = len(gm.group(1).split(",")) if gm else 2
-        # collectives inside the scan over LWE positions run once per
-        # iteration; the HLO prints the while body once
         trips = scan_trips if "while" in line else 1
-        # shard-level tensor size S is the op's result size on one device;
-        # ring costs per device:
         if kind == "all-reduce":
             wire = 2 * (g - 1) / g * size
-        elif kind in ("all-gather",):
-            wire = (g - 1) / g * size  # result is the gathered tensor
+        elif kind == "all-gather":
+            wire = (g - 1) / g * size
         elif kind == "reduce-scatter":
-            wire = (g - 1) * size  # result is the scattered shard
+            wire = (g - 1) * size
         else:  # collective-permute / all-to-all: send one shard
             wire = size
         per_line.append(
@@ -126,9 +133,10 @@ def parse_collective_bytes(txt: str, scan_trips: int = 4) -> dict:
             "total_wire_bytes": sum(r["wire"] for r in per_line)}
 
 
-def measure_single_chip_step() -> float:
-    """Seconds per unsharded production step on the local backend (the
-    real TPU chip under the session env)."""
+def measure_trip_seconds() -> tuple[float, str]:
+    """Seconds per CMux trip of the unsharded production step on the
+    local backend (real TPU under the session env): difference of two
+    scan lengths cancels dispatch/fetch constants."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -140,7 +148,7 @@ def measure_single_chip_step() -> float:
     from primus_fhe_tpu.rns import RNSBase64
     from primus_fhe_tpu.transforms.dcrt import build_dcrt_plan64
 
-    log_n, n_lwe, batch = 10, 4, 16
+    log_n, batch = 10, 16
     n = 1 << log_n
     moduli = [1125899906826241, 1125899906629633]
     base = RNSBase64(moduli)
@@ -150,92 +158,119 @@ def measure_single_chip_step() -> float:
     k1 = 2
     rng = np.random.default_rng(1)
     q0 = min(moduli)
-    bsk = to_u64_pair(rng.integers(
-        0, q0, size=(n_lwe, k1, level, len(moduli), k1, n), dtype=np.uint64))
     acc = to_u64_pair(rng.integers(
         0, q0, size=(batch, len(moduli), k1, n), dtype=np.uint64))
-    lwe = jnp.asarray(
-        rng.integers(0, 2 * n, size=(batch, n_lwe + 1)).astype(np.int32))
 
-    step = jax.jit(lambda l, a, b: dcrt_blind_rotate_batched(
-        plan, basis, base, b, l, a))
-    out = step(lwe, acc, bsk)
-    jax.block_until_ready(out)
+    def make(n_lwe):
+        bsk = to_u64_pair(rng.integers(
+            0, q0, size=(n_lwe, k1, level, len(moduli), k1, n),
+            dtype=np.uint64))
+        lwe = jnp.asarray(
+            rng.integers(0, 2 * n, size=(batch, n_lwe + 1)).astype(np.int32))
+        step = jax.jit(lambda l, a, b: dcrt_blind_rotate_batched(
+            plan, basis, base, b, l, a))
+        jax.block_until_ready(step(lwe, acc, bsk))
 
-    def reps(r):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(r):
-            o = step(lwe, acc, bsk)
-        jax.block_until_ready(o)
-        return time.perf_counter() - t0
+        def reps(r):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(r):
+                o = step(lwe, acc, bsk)
+            jax.block_until_ready(o)
+            return time.perf_counter() - t0
 
-    r1, r2 = 2, 8
-    _ = reps(r1)
-    tas, tbs = [], []
-    for _ in range(3):
-        tas.append(reps(r1))
-        tbs.append(reps(r2))
-    return max(min(tbs) - min(tas), 1e-9) / (r2 - r1)
+        return reps
+
+    short, long_ = make(4), make(16)
+    _ = short(2), long_(2)
+    ts, tl = [], []
+    for _i in range(3):
+        ts.append(short(6))
+        tl.append(long_(6))
+    # 6 reps x (16-4) extra trips
+    t_trip = max(min(tl) - min(ts), 1e-9) / (6 * 12)
+    import jax as _j
+
+    return t_trip, _j.default_backend()
 
 
 def main():
-    import jax
+    t_trip, backend = measure_trip_seconds()
+    print(f"[scaling_model] t_trip={t_trip*1e6:.1f} us backend={backend}",
+          file=sys.stderr)
 
-    n_dev = 8
-    hlo = collect_hlo_bytes(n_dev, residue=2)
-    # mesh-shape contrast: the batch axis must be collective-free (pure
-    # data parallel); the residue axis carries the CRT-compose traffic
-    hlo_dp = collect_hlo_bytes(n_dev, residue=1)
-    t1 = measure_single_chip_step()
-    backend = jax.default_backend()
+    overlap_meas = float(os.environ.get("OVERLAP_HIDDEN_FRACTION", 0.29))
+    curves = []
+    for d in (2, 4, 8, 16):
+        for residue in (2, 1):
+            if residue > d:
+                continue
+            hlo = collect_hlo_bytes(d, residue)
+            wire = hlo["total_wire_bytes"]
+            t_comp = N_LWE * t_trip / d
+            cell = {
+                "devices": d,
+                "mesh": {"residue": residue, "batch": d // residue},
+                "wire_bytes_per_device": wire,
+                "collectives_by_kind": hlo["by_kind"],
+                "efficiency": {},
+            }
+            for ici in ICI_BAND:
+                for ov_name, ov in (("no_overlap", 0.0),
+                                    ("measured_overlap", overlap_meas)):
+                    t_wire = wire / ici * (1 - ov)
+                    cell["efficiency"][f"ici_{ici/1e9:g}GBps_{ov_name}"] = (
+                        t_comp / (t_comp + t_wire)
+                    )
+            # adversarial multi-host placement: every wire byte on DCN
+            t_dcn = wire / DCN_BYTES_PER_S
+            cell["efficiency"]["adversarial_all_DCN_25GBps_no_overlap"] = (
+                t_comp / (t_comp + t_dcn)
+            )
+            curves.append(cell)
+            print(f"[scaling_model] d={d} residue={residue} "
+                  f"wire={wire/1e6:.2f}MB/dev "
+                  f"eff(center)={cell['efficiency']['ici_45GBps_no_overlap']:.3f}",
+                  file=sys.stderr)
 
-    wire = hlo["total_wire_bytes"]
-    t_comm = wire / ICI_BYTES_PER_S
-    t_comp = t1 / n_dev
-    eff_exposed = t_comp / (t_comp + t_comm)
-    # measured overlap factor at d=2 (bench_overlap.py): the explicit
-    # schedule issues all compose psums before level compute, hiding part
-    # of the collective time behind it; 1.40x step win corresponds to
-    # ~0.29 of the combined time hidden.  Apply conservatively to comm.
-    overlap_hidden = float(os.environ.get("OVERLAP_HIDDEN_FRACTION", 0.29))
-    eff_overlap = t_comp / (t_comp + t_comm * (1 - overlap_hidden))
+    # headline: d=8, residue=2, center ICI, measured overlap
+    pick = next(c for c in curves
+                if c["devices"] == 8 and c["mesh"]["residue"] == 2)
+    eff_headline = pick["efficiency"]["ici_45GBps_measured_overlap"]
+    eff_worst = min(
+        v for c in curves if c["mesh"]["residue"] == 2
+        for k, v in c["efficiency"].items() if "adversarial" not in k
+    )
+    eff_worst_corner = pick["efficiency"]["ici_22.5GBps_no_overlap"]
 
     record = {
         "metric": (
-            "modeled scaling efficiency at 8 devices "
-            "(production blind-rotation step, residue x batch mesh)"
+            "modeled scaling efficiency (production blind-rotation step, "
+            "n_lwe=128 scan compiled, residue x batch mesh, d=2..16)"
         ),
-        "value": eff_overlap,
-        "value_fully_exposed": eff_exposed,
+        "value": eff_headline,
+        "value_pessimistic_corner_d8": eff_worst_corner,
+        "value_worst_in_band_all_d": eff_worst,
         "unit": "parallel efficiency (modeled)",
-        "vs_baseline": eff_overlap / 0.8,
+        "vs_baseline": eff_headline / 0.8,
         "derivation": {
-            "t_single_chip_step_s": t1,
+            "t_trip_single_chip_s": t_trip,
             "t_single_chip_backend": backend,
-            "t_compute_per_device_s": t_comp,
-            "collectives_by_kind": hlo["by_kind"],
-            "total_wire_bytes_per_device": wire,
-            "ici_bytes_per_s_assumed": ICI_BYTES_PER_S,
-            "t_comm_exposed_s": t_comm,
-            "overlap_hidden_fraction_from_d2_measurement": overlap_hidden,
-            "collective_count": sum(
-                v["count"] for v in hlo["by_kind"].values()
+            "n_lwe_compiled": N_LWE,
+            "ici_band_bytes_per_s": list(ICI_BAND),
+            "dcn_bytes_per_s": DCN_BYTES_PER_S,
+            "overlap_hidden_fraction_from_d2_measurement": overlap_meas,
+            "multi_host_note": (
+                "batch axis is collective-free and residue groups have "
+                "size 2: any placement keeping residue pairs intra-host "
+                "sends ZERO step bytes over DCN; the adversarial_all_DCN "
+                "rows price the opposite placement"
             ),
-            "mesh_contrast": {
-                "residue2_batch4_wire_bytes": wire,
-                "residue1_batch8_wire_bytes": hlo_dp["total_wire_bytes"],
-                "note": (
-                    "the batch (data-parallel) axis is collective-free; "
-                    "all step traffic is residue-axis CRT compose"
-                ),
-            },
+            "curves": curves,
         },
     }
-    print(json.dumps({k: v for k, v in record.items()
-                      if k != "derivation"}))
-    print(json.dumps(record["derivation"], indent=1), file=sys.stderr)
-    rnd = os.environ.get("PRIMUS_ROUND", "03")
+    print(json.dumps({k: v for k, v in record.items() if k != "derivation"}))
+    rnd = os.environ.get("PRIMUS_ROUND", "04")
     with open(f"SCALING_MODEL_r{rnd}.json", "w") as f:
         json.dump(record, f, indent=1)
 

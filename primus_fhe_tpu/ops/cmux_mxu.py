@@ -591,7 +591,10 @@ def _fit_tile(total: int, tile: int) -> int:
     return tile
 
 
-_DEFAULT_TILE_B = int(os.environ.get("CMUX_MXU_TILE", "8"))
+# batch-tile default: swept on TPU v5e at the bench config (N=1024, kp=2,
+# L=2, batch 64): tile 4 -> 2866 boots/s, 8 -> 3605, 16 -> 3950 (tile 32
+# blows up trace/compile time).  16 is the sweet spot.
+_DEFAULT_TILE_B = int(os.environ.get("CMUX_MXU_TILE", "16"))
 
 
 def default_tile_b() -> int:
