@@ -69,7 +69,7 @@ def main():
             # quick per-run tile calibration (clock/tunnel state varies):
             # one short chained timing per tile, best wins
             best_t, best_dt = None, None
-            for t in (32, 64):
+            for t in (32, 64, 128):
                 try:
                     stp = m8_step_for(t)
 

@@ -79,6 +79,7 @@ def make_sharded_gadget_product(
     basis,  # BigUintApproxSignedBasis
     plan: DcrtPlan64,
     rns_base,  # RNSBase64
+    local_ntt: str = "auto",
 ):
     """Builds the overlapped sharded external product.
 
@@ -89,6 +90,12 @@ def make_sharded_gadget_product(
     residue-sharded.  Bit-identical to
     :func:`lattice.dcrt.crt_glwe_mul_dcrt_ggsw` (dcrt.rs:178-343 parity).
     Hold onto the returned fn — it owns the compiled SPMD program.
+
+    ``local_ntt``: ``"mxu"`` routes the per-residue forward NTTs through
+    the table-driven byte-radix MXU kernel (``ops/ntt_mxu8_dyn.py`` —
+    per-residue tables ride the residue sharding, one SPMD program
+    serves every modulus); ``"jnp"`` keeps the XLA-staged path;
+    ``"auto"`` picks MXU on TPU when the moduli/shape qualify.
     """
     d = mesh.shape[axis]
     n_mod = rns_base.count
@@ -110,6 +117,23 @@ def make_sharded_gadget_product(
     half_u = U64(_U32(half & 0xFFFFFFFF), _U32((half >> 32) & 0xFFFFFFFF))
     sm_u = U64(_U32(small_mod & 0xFFFFFFFF), _U32((small_mod >> 32) & 0xFFFFFFFF))
 
+    # table-driven MXU routing for the per-residue forward NTTs
+    use_mxu = local_ntt == "mxu" or (
+        local_ntt == "auto"
+        and jax.default_backend() == "tpu"
+        and plan.log_n >= 8
+        and all((1 << 30) <= q < (1 << 53) for q in plan.moduli)
+    )
+    if use_mxu:
+        from ..ops.ntt_mxu8_dyn import stack_dyn_tables
+
+        dyn_stacked, dyn_shapes = stack_dyn_tables(plan.log_n, plan.moduli)
+        dyn_specs = tuple(
+            P(axis, *([None] * (np.ndim(t) - 1))) for t in dyn_stacked
+        )
+    else:
+        dyn_stacked, dyn_specs, dyn_shapes = (), (), None
+
     # flatten the plan so every leading-(n_mod) leaf shards; monomial_base
     # (shape (n,)) replicates.
     plan_leaves, plan_def = jax.tree.flatten(plan)
@@ -119,7 +143,11 @@ def make_sharded_gadget_product(
         for leaf in plan_leaves
     )
 
-    def local_fn(glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift, *leaves):
+    n_dyn = len(dyn_stacked)
+
+    def local_fn(glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift, *rest):
+        dyn_loc = rest[:n_dyn]  # per-device residue slices of dyn tables
+        leaves = rest[n_dyn:]
         # glo/ghi: (m_loc, k+1, N); klo/khi: (k+1, level, m_loc, k+1, N)
         # mod: local Barrett record; ipf: local ShoupFactor64 record
         # p_limbs/p_shift: (m_loc, L+1) punctured-product limbs
@@ -170,7 +198,23 @@ def make_sharded_gadget_product(
             v, carries = basis.init_value_carry(bigs[r])
             for lvl in range(level):
                 digit, carries = basis.unsigned_decompose_level(v, carries, lvl)
-                f = dcrt_forward64(local_plan, respread(digit), 1)
+                resp = respread(digit)
+                if use_mxu:
+                    from ..ops.ntt_mxu8_dyn import mxu8_dyn_forward64
+
+                    outs = [
+                        mxu8_dyn_forward64(
+                            tuple(t[i] for t in dyn_loc), dyn_shapes,
+                            U64(resp.lo[i], resp.hi[i]), 1,
+                        )
+                        for i in range(m_loc)
+                    ]
+                    f = U64(
+                        jnp.stack([o.lo for o in outs]),
+                        jnp.stack([o.hi for o in outs]),
+                    )
+                else:
+                    f = dcrt_forward64(local_plan, resp, 1)
                 fb = U64(f.lo[:, None, :], f.hi[:, None, :])
                 g = U64(klo[r, lvl], khi[r, lvl])
                 acc = add64(acc, mul64(g, fb, m_bc), m_bc.value)
@@ -189,7 +233,7 @@ def make_sharded_gadget_product(
                 jax.tree.map(lambda _: sp_1, rns_base.modulus),
                 jax.tree.map(lambda _: sp_1, rns_base.inv_punctured),
                 sp_2, sp_2,
-            ) + plan_specs,
+            ) + dyn_specs + plan_specs,
             out_specs=(sp_g, sp_g),
             check_vma=False,
         )
@@ -200,7 +244,7 @@ def make_sharded_gadget_product(
             crt_glwe.lo, crt_glwe.hi, ggsw.lo, ggsw.hi,
             rns_base.modulus, rns_base.inv_punctured,
             rns_base.punctured_limbs, rns_base.punctured_limbs_shift,
-            *plan_leaves,
+            *(jnp.asarray(t) for t in dyn_stacked), *plan_leaves,
         )
         return U64(lo, hi)
 

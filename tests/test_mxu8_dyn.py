@@ -1,0 +1,57 @@
+"""Table-driven (dynamic-q) MXU forward vs the static fused kernel.
+
+One compiled program must serve every modulus: feed per-residue table
+packs to the SAME kernel and require bit-exact agreement with the
+per-modulus static kernels.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from primus_fhe_tpu.numeric.limb import U64, to_u64_pair
+from primus_fhe_tpu.ops.ntt_mxu8 import Mxu8NttPlan64, mxu8_fused_forward64
+from primus_fhe_tpu.ops.ntt_mxu8_dyn import (
+    DynMxuTables64,
+    mxu8_dyn_forward64,
+    stack_dyn_tables,
+)
+
+LOG_N = 10
+N = 1 << LOG_N
+BATCH = 4
+MODULI = [1125899906826241, 1125899906629633]  # Solinas + general 50-bit
+
+
+@pytest.mark.parametrize("q", MODULI)
+@pytest.mark.parametrize("out_factor", [1, 4])
+def test_dyn_matches_static(q, out_factor):
+    rng = np.random.default_rng(0)
+    x = to_u64_pair(rng.integers(0, q, size=(BATCH, N), dtype=np.uint64))
+    want = mxu8_fused_forward64(Mxu8NttPlan64(LOG_N, q), x, out_factor)
+    pack = DynMxuTables64(LOG_N, q)
+    got = mxu8_dyn_forward64(
+        tuple(jnp.asarray(t) for t in pack.tables),
+        (LOG_N, pack.A, pack.B), x, out_factor,
+    )
+    assert (np.asarray(got.lo) == np.asarray(want.lo)).all()
+    assert (np.asarray(got.hi) == np.asarray(want.hi)).all()
+
+
+def test_one_program_two_moduli():
+    """The SAME jitted function transforms both residues (tables as
+    runtime arguments — the shard_map usage shape)."""
+    stacked, shapes = stack_dyn_tables(LOG_N, MODULI)
+    rng = np.random.default_rng(1)
+
+    @jax.jit
+    def run(tabs, lo, hi):
+        return mxu8_dyn_forward64(tabs, shapes, U64(lo, hi), 1).lo
+
+    for i, q in enumerate(MODULI):
+        x = to_u64_pair(rng.integers(0, q, size=(BATCH, N), dtype=np.uint64))
+        tabs = tuple(jnp.asarray(t[i]) for t in stacked)
+        got = run(tabs, x.lo, x.hi)
+        want = mxu8_fused_forward64(Mxu8NttPlan64(LOG_N, q), x, 1)
+        assert (np.asarray(got) == np.asarray(want.lo)).all(), q

@@ -75,3 +75,18 @@ def test_overlap_collective_structure():
     k1 = glwe.lo.shape[-2]
     assert len(re.findall(r"\ball-reduce\b", txt)) >= k1
     assert "all-gather" not in txt and "all-to-all" not in txt
+
+
+def test_overlapped_gadget_product_mxu_local_ntt():
+    """local_ntt='mxu': the table-driven byte-radix kernel serves both
+    residues from ONE SPMD program, bit-exactly (interpret mode)."""
+    base, basis, plan, glwe, ggsw = _setup(log_n=8)
+    ref = crt_glwe_mul_dcrt_ggsw(glwe, ggsw, basis, plan, base)
+
+    mesh = make_mesh(2, residue=2)
+    fn = make_sharded_gadget_product(
+        mesh, "residue", basis, plan, base, local_ntt="mxu"
+    )
+    sg, sk = shard_gadget_inputs(mesh, "residue", glwe, ggsw)
+    out = fn(sg, sk)
+    assert (from_u64_pair(out) == from_u64_pair(ref)).all()
