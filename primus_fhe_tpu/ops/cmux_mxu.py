@@ -449,10 +449,12 @@ def _make_cmux_kernel(
         for pi in range(kp):
             p = plan.primes[pi]
             pc = np.uint32(p)
+            tpc = np.uint32(2 * p)
             for j in range(k1):
                 cols = []
                 for bq in range(tile_b):
                     acc_sum = None
+                    pending = 0
                     for r in range(k1):
                         rows = slice((bq * k1 + r) * A, (bq * k1 + r + 1) * A)
                         for l in range(level):
@@ -460,7 +462,19 @@ def _make_cmux_kernel(
                             wp = keyp_ref[pi, r, l, j, :, :]
                             tmv = _sl(vf[(pi, l)][rows, :], w, wp, p)
                             tmv = jnp.where(tmv >= pc, tmv - pc, tmv)
-                            acc_sum = tmv if acc_sum is None else acc_sum + tmv
+                            if acc_sum is None:
+                                acc_sum, pending = tmv, 1
+                            else:
+                                if pending == 4:  # next add would pass 4p
+                                    acc_sum = jnp.where(
+                                        acc_sum >= tpc, acc_sum - tpc, acc_sum
+                                    )
+                                    acc_sum = jnp.where(
+                                        acc_sum >= pc, acc_sum - pc, acc_sum
+                                    )
+                                    pending = 1
+                                acc_sum = acc_sum + tmv
+                                pending += 1
                     cols.append(acc_sum)  # (A, B) in [0, 4p)
                 mac[(pi, j)] = jnp.concatenate(cols, axis=0)  # (tile_b*A, B)
 

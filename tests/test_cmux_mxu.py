@@ -154,3 +154,35 @@ def test_full_bootstrap_mxu_key(setup):
     ph = np.asarray(phase_torus32(out_mxu, glwe_s.reshape(-1))).astype(np.int64)
     ph = np.where(ph >= 1 << 31, ph - (1 << 32), ph)
     assert ((ph > 0) == (np.arange(batch) % 2 == 0)).all()
+
+
+@pytest.mark.parametrize("k,lb,lv", [(2, 8, 2), (1, 6, 3), (1, 7, 4)])
+def test_mxu_cmux_other_shapes(k, lb, lv):
+    """GLWE rank k=2 and other gadget bases/levels: same bit-exactness."""
+    k1 = k + 1
+    basis = ApproxSignedBasis32(None, lb, reverse_length=lv)
+    conv = tfhe.make_convolver(LOG_N, lv, k, lb)
+    rng = np.random.default_rng(10 * k + lv)
+    bsz = 2
+    acc = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(bsz, k1, N), dtype=np.uint64).astype(np.uint32)
+    )
+    degrees = jnp.asarray(rng.integers(0, 2 * N, size=bsz, dtype=np.int64), jnp.int32)
+    ggsw = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(1, k1, lv, k1, N), dtype=np.uint64).astype(
+            np.uint32
+        )
+    )
+    key_ntt = conv.forward(ggsw[0])
+    rotated = _rotate_glwe(acc, degrees[:, None], N)
+    delta = external_product(conv, basis, rotated - acc, key_ntt)
+    want = np.asarray(acc + delta)
+
+    kv, kpre = prepare_mxu_bsk(conv, ggsw)
+    plan = get_plan(conv.log_n, tuple(conv.primes), conv.product)
+    crt = plan.crt_consts(conv.product)
+    out = mxu_cmux_step_nat(
+        plan, basis, crt, acc.reshape(bsz, k1, plan.A, plan.B), degrees,
+        kv[0], kpre[0], k1, lv,
+    )
+    assert (np.asarray(out.reshape(bsz, k1, N)) == want).all()
