@@ -147,7 +147,11 @@ def main():
     nt_secret = (jax.random.bits(kk[1], (NT_NLWE,), dtype=jnp.uint32) & 1).astype(
         jnp.uint32
     )
-    evk = nb.make_ntru_bootstrap_key(kk[2], ctx, sk, nt_secret, gauss)
+    nt_mxu = use_mxu and NT_LOG_N >= 8
+    if nt_mxu:
+        evk = nb.make_ntru_bootstrap_key_mxu(kk[2], ctx, sk, nt_secret, gauss)
+    else:
+        evk = nb.make_ntru_bootstrap_key(kk[2], ctx, sk, nt_secret, gauss)
     test_poly = nb.ntru_test_polynomial(NT_N, NT_Q, ctx.delta)
     rng = np.random.default_rng(11)
     lwe = jnp.asarray(
@@ -181,6 +185,7 @@ def main():
         "rotations_per_s": NT_BATCH / nt_dt,
         "platform": jax.devices()[0].platform,
         "device": jax.devices()[0].device_kind,
+        "path": "ntru-cmux-mxu" if nt_mxu else "ntru-pallas",
     }
     print(json.dumps(nt_record))
     print(

@@ -190,6 +190,21 @@ def make_ntru_bootstrap_key(key, ctx: NtruContext, sk: NtruSecret, lwe_secret, g
     return forward32(ctx.plan, evk)
 
 
+def make_ntru_bootstrap_key_mxu(key, ctx: NtruContext, sk, lwe_secret, gaussian):
+    """EVK for the single-kernel MXU CMux path: ``(vals, precons)`` in
+    the byte-radix four-step's natural NTT order (ops/ntru_cmux_mxu.py).
+    Same NGS material as :func:`make_ntru_bootstrap_key` — only the
+    transform order and the precomputed multiplier tables differ."""
+    from ..ops.ntru_cmux_mxu import prepare_mxu_evk
+
+    n_lwe = int(lwe_secret.shape[0])
+    keys = jax.random.split(key, n_lwe)
+    evk = jax.vmap(
+        lambda kk, s_i: ngs_encrypt_bit(kk, ctx, sk, s_i, gaussian)
+    )(keys, lwe_secret)  # (n_lwe, L, N) coeff
+    return prepare_mxu_evk(ctx, evk)
+
+
 # ---------------------------------------------------------------------------
 # External product and blind rotation
 # ---------------------------------------------------------------------------
@@ -272,13 +287,39 @@ def ntru_blind_rotate(ctx: NtruContext, evk_ntt, lwe_switched, test_poly):
     on TPU (scratch/probe_ntru_r3.py: 8.5 → 0.57 us/acc); the bit-chain
     rolls are the TPU-native form of the same rotation.
     """
-    n_lwe = evk_ntt.shape[0]
+    use_mxu = isinstance(evk_ntt, (tuple, list))
+    n_lwe = evk_ntt[0].shape[0] if use_mxu else evk_ntt.shape[0]
     n = ctx.n
     basis = ctx.basis
     batch = lwe_switched.shape[:-1]
 
     b = lwe_switched[..., n_lwe]
     acc = rotate_poly_q(jnp.broadcast_to(test_poly, batch + (n,)), -b, n, ctx.m.value)
+
+    if use_mxu:
+        # single-kernel MXU CMux scan in natural layout (ops/ntru_cmux_mxu)
+        from ..ops.ntru_cmux_mxu import get_ntru_plan, ntru_cmux_step_nat
+
+        kv, kpre = evk_ntt
+        plan = get_ntru_plan(ctx.plan.log_n, ctx.q_int)
+        A, B = plan.A, plan.B
+        acc_nat = acc.reshape((-1, A, B))
+        bsz = acc_nat.shape[0]
+        level = basis.decompose_length
+
+        def body_mxu(a, x):
+            a_i, kv_i, kp_i = x
+            d3 = jnp.broadcast_to(
+                jnp.asarray(a_i, jnp.int32).reshape(-1), (bsz,)
+            ) % (2 * n)
+            return (
+                ntru_cmux_step_nat(plan, basis, a, d3, kv_i, kp_i, level),
+                None,
+            )
+
+        a_t = jnp.moveaxis(lwe_switched[..., :n_lwe], -1, 0)
+        acc_nat, _ = jax.lax.scan(body_mxu, acc_nat, (a_t, kv, kpre))
+        return acc_nat.reshape(batch + (n,))
 
     def body(acc, x):
         a_i, evk_i = x
