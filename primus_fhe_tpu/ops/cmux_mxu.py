@@ -632,6 +632,13 @@ def mxu_cmux_step_nat(
     bsz = acc_nat.shape[0]
     A, B = plan.A, plan.B
     kp = len(plan.primes)
+    pad1 = bsz == 1  # single-poly i8 chunks trip an XLA-CPU LLVM bug
+    if pad1:
+        acc_nat = jnp.concatenate([acc_nat, jnp.zeros_like(acc_nat)])
+        degrees = jnp.concatenate(
+            [jnp.asarray(degrees, jnp.int32).reshape(1), jnp.zeros((1,), jnp.int32)]
+        )
+        bsz = 2
     tile_b = _fit_tile(bsz, _DEFAULT_TILE_B if tile_b is None else tile_b)
     grid = (bsz // tile_b,)
     R = tile_b * k1 * A
@@ -667,7 +674,8 @@ def mxu_cmux_step_nat(
         out_shape=jax.ShapeDtypeStruct((bsz * k1 * A, B), jnp.uint32),
         interpret=jax.default_backend() != "tpu",
     )(d_rows, acc2, key_vals, key_precons, *tabs)
-    return out.reshape(bsz, k1, A, B)
+    out = out.reshape(bsz, k1, A, B)
+    return out[:1] if pad1 else out
 
 
 # ---------------------------------------------------------------------------

@@ -268,6 +268,13 @@ def ntru_cmux_step_nat(
     """
     bsz = acc_nat.shape[0]
     A, B = plan.A, plan.B
+    pad1 = bsz == 1  # single-poly i8 chunks trip an XLA-CPU LLVM bug
+    if pad1:
+        acc_nat = jnp.concatenate([acc_nat, jnp.zeros_like(acc_nat)])
+        degrees = jnp.concatenate(
+            [jnp.asarray(degrees, jnp.int32).reshape(1), jnp.zeros((1,), jnp.int32)]
+        )
+        bsz = 2
     if tile_b is None:
         tile_b = int(os.environ.get("NTRU_MXU_TILE", "16"))
     tile_b = _fit_tile(bsz, tile_b)
@@ -297,7 +304,8 @@ def ntru_cmux_step_nat(
         out_shape=jax.ShapeDtypeStruct((bsz * A, B), jnp.uint32),
         interpret=jax.default_backend() != "tpu",
     )(d_rows, acc2, kv, kpre, *tabs)
-    return out.reshape(bsz, A, B)
+    out = out.reshape(bsz, A, B)
+    return out[:1] if pad1 else out
 
 
 def prepare_mxu_evk(ctx, evk_coeff):

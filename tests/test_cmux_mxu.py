@@ -86,6 +86,7 @@ def test_mxu_cmux_step_matches_composed(setup):
     )
 
 
+@pytest.mark.slow
 def test_mxu_cmux_degree_zero_and_extremes(setup):
     basis, conv = setup
     rng = np.random.default_rng(2)
@@ -156,6 +157,7 @@ def test_full_bootstrap_mxu_key(setup):
     assert ((ph > 0) == (np.arange(batch) % 2 == 0)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("k,lb,lv", [(2, 8, 2), (1, 6, 3), (1, 7, 4)])
 def test_mxu_cmux_other_shapes(k, lb, lv):
     """GLWE rank k=2 and other gadget bases/levels: same bit-exactness."""

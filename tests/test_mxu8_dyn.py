@@ -24,8 +24,12 @@ BATCH = 4
 MODULI = [1125899906826241, 1125899906629633]  # Solinas + general 50-bit
 
 
-@pytest.mark.parametrize("q", MODULI)
-@pytest.mark.parametrize("out_factor", [1, 4])
+@pytest.mark.parametrize("q,out_factor", [
+    (MODULI[0], 1),
+    pytest.param(MODULI[0], 4, marks=pytest.mark.slow),
+    pytest.param(MODULI[1], 1, marks=pytest.mark.slow),
+    pytest.param(MODULI[1], 4, marks=pytest.mark.slow),
+])
 def test_dyn_matches_static(q, out_factor):
     rng = np.random.default_rng(0)
     x = to_u64_pair(rng.integers(0, q, size=(BATCH, N), dtype=np.uint64))
@@ -39,6 +43,7 @@ def test_dyn_matches_static(q, out_factor):
     assert (np.asarray(got.hi) == np.asarray(want.hi)).all()
 
 
+@pytest.mark.slow
 def test_one_program_two_moduli():
     """The SAME jitted function transforms both residues (tables as
     runtime arguments — the shard_map usage shape)."""
