@@ -67,12 +67,20 @@ class TfheContext:
     ksk: Any
 
 
-def make_context(key, params: TfheParams = TOY) -> TfheContext:
-    """Generates secrets and evaluation keys for a parameter set."""
+def make_context(key, params: TfheParams = TOY, bsk_kind: str = "auto") -> TfheContext:
+    """Generates secrets and evaluation keys for a parameter set.
+
+    ``bsk_kind``: ``"mxu"`` builds the single-kernel MXU CMux key pack
+    (the TPU fast path, ~2.4x gate throughput; requires log_n >= 8),
+    ``"ntt"`` the classic NTT-domain key, ``"auto"`` picks MXU on TPU.
+    ``bootstrap``/gates dispatch on the key-pack type, so either kind
+    flows through the same APIs (and ``save_keys`` requires "ntt").
+    """
     import jax
     import jax.numpy as jnp
 
     from .boot import make_bootstrap_key
+    from .boot.blind_rotate import make_bootstrap_key_mxu
     from .decompose import ApproxSignedBasis32
     from .distr.sampling import DiscreteGaussian
     from .lattice import keyswitch, tfhe
@@ -89,7 +97,17 @@ def make_context(key, params: TfheParams = TOY) -> TfheContext:
     glwe_secret = (
         jax.random.bits(k2, (p.glwe_dim, p.n), dtype=jnp.uint32) & 1
     ).astype(jnp.uint32)
-    bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gaussian, conv)
+    use_mxu = bsk_kind == "mxu" or (
+        bsk_kind == "auto"
+        and jax.default_backend() == "tpu"
+        and p.log_n >= 8
+    )
+    if use_mxu:
+        bsk = make_bootstrap_key_mxu(
+            k3, lwe_secret, glwe_secret, basis, gaussian, conv
+        )
+    else:
+        bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gaussian, conv)
     ksk = keyswitch.make_keyswitch_key(
         k4, glwe_secret.reshape(-1), lwe_secret, ks_basis, gaussian
     )
@@ -104,6 +122,12 @@ def save_keys(path: str, ctx: TfheContext) -> None:
     the reference's ``impl_bytes_conversion`` for key material)."""
     import numpy as np
 
+    if isinstance(ctx.bsk, (tuple, list)):
+        raise ValueError(
+            "save_keys serializes the NTT-domain key; build the context "
+            'with bsk_kind="ntt" (the MXU key pack is a device-resident '
+            "derivative — rebuild it after load with make_bootstrap_key_mxu)"
+        )
     np.savez_compressed(
         path,
         bsk=np.asarray(ctx.bsk),
