@@ -254,3 +254,190 @@ def stack_dyn_tables(log_n: int, moduli) -> tuple:
         out.append(np.stack([p.tables[i] for p in packs]))
     shapes = (log_n, packs[0].A, packs[0].B)
     return tuple(out), shapes
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-q inverse (mirror of the forward; optional fused pointwise mul)
+# ---------------------------------------------------------------------------
+
+
+class DynMxuInvTables64:
+    """Inverse-direction table pack (same philosophy as
+    :class:`DynMxuTables64`): mirrored matrices, inverse twiddle group,
+    corrections, finish constants — all array arguments."""
+
+    def __init__(self, log_n: int, q: int, h1: int | None = None):
+        base = Mxu8NttPlan64(log_n, q, h1=h1)
+        if base.planes != 7:
+            raise ValueError("dyn kernel serves the 7-plane tier")
+        self.log_n, self.q = log_n, q
+        self.A, self.B = A, B = base.Ai, base.Bi
+        P = base.planes
+        b1 = _u_bounds(base.bias_i1, P)
+        b2 = _u_bounds(base.bias_i2, P)
+        for smax in (b1[2], b2[2]):
+            assert smax * 257 + (1 << 16) < 1 << 32, "packing margin"
+        self.bias_i1, self.bias_i2 = base.bias_i1, base.bias_i2
+        one = np.ones((1, 1), dtype=np.uint32)
+
+        def pair_c(v: int):
+            return (one * np.uint32(v & 0xFFFFFFFF),
+                    one * np.uint32((v >> 32) & 0xFFFFFFFF))
+
+        s32 = _shoup_tabs(np.array([[(1 << 32) % q]], dtype=object), q)
+        s1 = _shoup_tabs(np.array([[1]], dtype=object), q)
+        if base.tim32_tabs is None:
+            from .ntt_mxu import four_step_matrices as _fsm
+            from .ntt_mxu8 import _corr_vec as _cv, _byte_matrix as _bm
+
+            fs = _fsm(log_n, q, log_n - 7, log_n - 7)
+            twi = fs["twi"]
+            base.tim32_tabs = _shoup_tabs((twi * ((1 << 32) % q)) % q, q)
+            w1m = _bm(fs["m2i"], q, P)
+            corr1i = _cv(w1m, P, B, base.bias_i1, q)
+            ci = np.empty((A, B), dtype=object)
+            for r in range(A):
+                for k in range(B):
+                    ci[r, k] = corr1i[k] * twi[r, k] % q
+            base.corrt_i = base._pair_tab(ci)
+        tabs = (
+            (base.w1mf, base.w2mf)
+            + base.tim_tabs + base.tim32_tabs + base.corrt_i
+            + base.corr_i1 + base.corr_i2
+            + s32 + s1
+            + (one * np.uint32(base.bias_i1), one * np.uint32(base.bias_i2))
+            + pair_c(2 * q) + pair_c(4 * q) + pair_c(q)
+        )
+        self.tables = tuple(np.asarray(t) for t in tabs)
+
+
+def _dyn_inv_kernel(A: int, B: int, P: int, tile: int, out_factor: int,
+                    n_mul: int):
+    narrow = _narrow_dyn()
+    lazy = _lazy_dyn()
+
+    def kernel(*refs):
+        (w1m_ref, w2m_ref) = refs[:2]
+        t8 = refs[2:10]
+        t32 = refs[10:18]
+        ct = refs[18:20]
+        c1 = refs[20:22]
+        c2 = refs[22:24]
+        s32 = refs[24:32]
+        s1 = refs[32:40]
+        bias1_r, bias2_r = refs[40:42]
+        q2 = refs[42:44]
+        q4 = refs[44:46]
+        q1 = refs[46:48]
+        mul = refs[48 : 48 + n_mul]
+        vlo_ref, vhi_ref, olo_ref, ohi_ref = refs[48 + n_mul :]
+
+        bias1 = bias1_r[0, 0]
+        bias2 = bias2_r[0, 0]
+        q2c = (q2[0][0, 0], q2[1][0, 0])
+        q4c = (q4[0][0, 0], q4[1][0, 0])
+        q1c = (q1[0][0, 0], q1[1][0, 0])
+        qcl = q1[0][:]
+        qch = q1[1][:]
+
+        for p in range(tile):
+            vl = vlo_ref[p * A : (p + 1) * A, :]
+            vh = vhi_ref[p * A : (p + 1) * A, :]
+            if n_mul:
+                vl, vh = lazy(vl, vh, mul[0][:], mul[1][:], mul[2][:],
+                              mul[3][:], mul[4][:], mul[5][:], mul[6][:],
+                              mul[7][:], qcl, qch)
+            x8 = jnp.concatenate(_split_bytes_list(vl, vh, P), axis=1)
+            o1 = _DOT(x8, w1m_ref[:])  # (A, PB) cols (c, k0)
+            digs = [o1[:, c * B : (c + 1) * B] for c in range(P)]
+            ds = [d.astype(_U32) + bias1 for d in digs]
+            e01 = ds[0] + (ds[1] << 8)
+            e23 = ds[2] + (ds[3] << 8)
+            v_lo = _add64(e01, jnp.zeros_like(e01), e23 << 16, e23 >> 16)
+            e45 = ds[4] + (ds[5] << 8)
+            e6 = ds[6]
+            v_hi = _add64(e45, jnp.zeros_like(e45), e6 << 16, e6 >> 16)
+            m1 = narrow(v_lo[0], v_lo[1], t8[0][:], t8[1][:], t8[2][:],
+                        t8[3][:], t8[4][:], t8[5][:], t8[6][:], t8[7][:],
+                        qcl, qch)
+            m2 = narrow(v_hi[0], v_hi[1], t32[0][:], t32[1][:], t32[2][:],
+                        t32[3][:], t32[4][:], t32[5][:], t32[6][:],
+                        t32[7][:], qcl, qch)
+            s = _reduce_once_pair(*_add64(*m1, *m2), *q4c)
+            s2lo, s2hi = _add64(*s, ct[0][:], ct[1][:])  # < 5q < 2^56
+            a2 = jnp.concatenate(_split_bytes_list(s2lo, s2hi, P), axis=0)
+            o2 = _DOT(w2m_ref[:], a2)  # (PA, B) rows (c, k1)
+            d2 = [o2[c * A : (c + 1) * A, :] for c in range(P)]
+            ds2 = [d.astype(_U32) + bias2 for d in d2]
+            e01b = ds2[0] + (ds2[1] << 8)
+            e23b = ds2[2] + (ds2[3] << 8)
+            v2l = _add64(e01b, jnp.zeros_like(e01b), e23b << 16, e23b >> 16)
+            e45b = ds2[4] + (ds2[5] << 8)
+            e6b = ds2[6]
+            v2h = _add64(e45b, jnp.zeros_like(e45b), e6b << 16, e6b >> 16)
+            mh = narrow(v2h[0], v2h[1], s32[0][:], s32[1][:], s32[2][:],
+                        s32[3][:], s32[4][:], s32[5][:], s32[6][:],
+                        s32[7][:], qcl, qch)
+            t = _add64(*_add64(*v2l, *mh), c2[0][:], c2[1][:])
+            rlo, rhi = lazy(t[0], t[1], s1[0][:], s1[1][:], s1[2][:],
+                            s1[3][:], s1[4][:], s1[5][:], s1[6][:],
+                            s1[7][:], qcl, qch)  # Barrett, [0,4q)
+            if out_factor <= 2:
+                rlo, rhi = _reduce_once_pair(rlo, rhi, *q2c)
+            if out_factor == 1:
+                rlo, rhi = _reduce_once_pair(rlo, rhi, *q1c)
+            rows = slice(p * A, (p + 1) * A)
+            olo_ref[rows, :] = rlo
+            ohi_ref[rows, :] = rhi
+
+    return kernel
+
+
+def mxu8_dyn_inverse64(
+    tables, shapes, values: U64, out_factor: int = 1, mul_tabs=(),
+    tile: int = 8,
+) -> U64:
+    """Inverse NTT with runtime tables (``DynMxuInvTables64.tables``);
+    ``mul_tabs`` (8 Shoup tables, ``(A, B)``) fuses ``INTT(values * key)``
+    — also table-driven, so the key can differ per device/residue.
+    Contract of :func:`..ntt_mxu8.mxu8_fused_inverse64[_mul]`."""
+    log_n, A, B = shapes
+    n = 1 << log_n
+    P = 7
+    vlo, vhi = values.lo, values.hi
+    batch_shape = vlo.shape[:-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    vlo = vlo.reshape(b, n)
+    vhi = vhi.reshape(b, n)
+    tile = max(1, min(tile, b))
+    pad = (-b) % tile
+    if pad:
+        vlo = jnp.concatenate([vlo, jnp.zeros((pad, n), _U32)])
+        vhi = jnp.concatenate([vhi, jnp.zeros((pad, n), _U32)])
+    bp = b + pad
+
+    kernel = _dyn_inv_kernel(A, B, P, tile, out_factor, len(mul_tabs))
+    w_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((tile * A, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    all_tabs = tuple(tables) + tuple(mul_tabs)
+    olo, ohi = pl.pallas_call(
+        kernel,
+        grid=(bp // tile,),
+        in_specs=[w_spec(np.shape(t)) for t in all_tabs] + [v_spec] * 2,
+        out_specs=[v_spec] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bp * A, B), jnp.uint32)] * 2,
+        interpret=jax.default_backend() != "tpu",
+    )(*all_tabs, vlo.reshape(bp * A, B), vhi.reshape(bp * A, B))
+    olo = olo.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    ohi = ohi.reshape(bp, n)[:b].reshape(*batch_shape, n)
+    return U64(olo, ohi)
+
+
+def stack_dyn_inv_tables(log_n: int, moduli) -> tuple:
+    """Stacked per-residue inverse tables ``(m, ...)``."""
+    packs = [DynMxuInvTables64(log_n, int(q)) for q in moduli]
+    out = []
+    for i in range(len(packs[0].tables)):
+        out.append(np.stack([p.tables[i] for p in packs]))
+    shapes = (log_n, packs[0].A, packs[0].B)
+    return tuple(out), shapes

@@ -60,3 +60,36 @@ def test_one_program_two_moduli():
         got = run(tabs, x.lo, x.hi)
         want = mxu8_fused_forward64(Mxu8NttPlan64(LOG_N, q), x, 1)
         assert (np.asarray(got) == np.asarray(want.lo)).all(), q
+
+
+@pytest.mark.parametrize("q", [MODULI[0], pytest.param(MODULI[1], marks=pytest.mark.slow)])
+def test_dyn_inverse_roundtrip(q):
+    """dyn fwd -> dyn inverse (with and without fused key mul) vs the
+    static kernels, bit-exact."""
+    from primus_fhe_tpu.ops.ntt_mxu8 import mxu8_fused_inverse64_mul
+    from primus_fhe_tpu.ops.ntt_mxu8_dyn import (
+        DynMxuInvTables64,
+        mxu8_dyn_inverse64,
+    )
+
+    rng = np.random.default_rng(2)
+    x = to_u64_pair(rng.integers(0, q, size=(BATCH, N), dtype=np.uint64))
+    key = rng.integers(0, q, size=N, dtype=np.uint64)
+    plan = Mxu8NttPlan64(LOG_N, q)
+    mul_tabs = plan.inverse_mul_tabs(key)
+
+    f = mxu8_fused_forward64(plan, x, 1)
+    want = mxu8_fused_inverse64_mul(plan, f, mul_tabs, 1)
+
+    ipack = DynMxuInvTables64(LOG_N, q)
+    itabs = tuple(jnp.asarray(t) for t in ipack.tables)
+    got = mxu8_dyn_inverse64(
+        itabs, (LOG_N, ipack.A, ipack.B), f, 1,
+        mul_tabs=tuple(jnp.asarray(t) for t in mul_tabs),
+    )
+    assert (np.asarray(got.lo) == np.asarray(want.lo)).all()
+    assert (np.asarray(got.hi) == np.asarray(want.hi)).all()
+
+    # plain inverse closes the round trip
+    got2 = mxu8_dyn_inverse64(itabs, (LOG_N, ipack.A, ipack.B), f, 1)
+    assert (np.asarray(got2.lo) == np.asarray(x.lo)).all()
