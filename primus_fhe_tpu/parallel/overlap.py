@@ -73,6 +73,88 @@ def _psum_bigint(partial, axis: str, n_limbs: int, q_multiples):
     return value
 
 
+def _make_gadget_local(axis, basis, plan_def, m_loc, L, level, small_mod,
+                       q_multiples, q_ext, half_u, sm_u, use_mxu, dyn_shapes):
+    """The per-device gadget-product body, reusable from other shard_map
+    programs (the sharded blind rotation wraps it in a batch vmap inside
+    its CMux scan).  Operands are UNBATCHED: ``glo/ghi (m_loc, k+1, N)``,
+    ``klo/khi (k+1, level, m_loc, k+1, N)``; collectives reference
+    ``axis`` and so must run under a mesh binding that axis name."""
+
+    def gadget_local(glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift,
+                     dyn_loc, leaves):
+        local_plan = jax.tree.unflatten(plan_def, leaves)
+        k1 = glo.shape[-2]
+        n = glo.shape[-1]
+
+        def compose_partial(r):
+            value = jnp.zeros((n, L + 1), _U32)
+            for i in range(m_loc):
+                f = ShoupFactor64(
+                    U64(ipf.value.lo[i], ipf.value.hi[i]),
+                    U64(ipf.quotient.lo[i], ipf.quotient.hi[i]),
+                )
+                qi = U64(mod.value.lo[i], mod.value.hi[i])
+                prod = factor_mul64(U64(glo[i, r], ghi[i, r]), f, qi)
+                value, _ = big_mul_u32_add(p_limbs[i], prod.lo, value)
+                value, _ = big_mul_u32_add(p_shift[i], prod.hi, value)
+                value = big_cond_sub(value, q_ext)
+            return value
+
+        # 1. local partial composes + ALL compose psums issued up front:
+        #    each collective depends only on inputs, so on TPU the r+1
+        #    all-reduce overlaps the r-th component's NTT/MAC compute.
+        bigs = [
+            _psum_bigint(compose_partial(r), axis, L + 1, q_multiples)[..., :L]
+            for r in range(k1)
+        ]
+
+        q_loc = U64(
+            mod.value.lo.reshape(m_loc, 1), mod.value.hi.reshape(m_loc, 1)
+        )
+        m_bc = jax.tree.map(lambda x: x.reshape(m_loc, 1, 1), mod)
+
+        def respread(digit):  # (n,) u32 -> U64 (m_loc, n), centered lift
+            db = U64(
+                jnp.broadcast_to(digit[None], (m_loc, n)),
+                jnp.zeros((m_loc, n), _U32),
+            )
+            if small_mod == 2:
+                return db
+            lifted = u64_add(u64_sub(q_loc, sm_u), db)
+            return u64_select(u64_lt(db, half_u), db, lifted)
+
+        # 2. per-component level loops: all residue-local, no collectives.
+        acc = U64(jnp.zeros_like(glo), jnp.zeros_like(ghi))
+        for r in range(k1):
+            v, carries = basis.init_value_carry(bigs[r])
+            for lvl in range(level):
+                digit, carries = basis.unsigned_decompose_level(v, carries, lvl)
+                resp = respread(digit)
+                if use_mxu:
+                    from ..ops.ntt_mxu8_dyn import mxu8_dyn_forward64
+
+                    outs = [
+                        mxu8_dyn_forward64(
+                            tuple(t[i] for t in dyn_loc), dyn_shapes,
+                            U64(resp.lo[i], resp.hi[i]), 1,
+                        )
+                        for i in range(m_loc)
+                    ]
+                    f = U64(
+                        jnp.stack([o.lo for o in outs]),
+                        jnp.stack([o.hi for o in outs]),
+                    )
+                else:
+                    f = dcrt_forward64(local_plan, resp, 1)
+                fb = U64(f.lo[:, None, :], f.hi[:, None, :])
+                g = U64(klo[r, lvl], khi[r, lvl])
+                acc = add64(acc, mul64(g, fb, m_bc), m_bc.value)
+        return acc.lo, acc.hi
+
+    return gadget_local
+
+
 def make_sharded_gadget_product(
     mesh: Mesh,
     axis: str,
@@ -145,80 +227,17 @@ def make_sharded_gadget_product(
 
     n_dyn = len(dyn_stacked)
 
+    gadget_local = _make_gadget_local(
+        axis, basis, plan_def, m_loc, L, level, small_mod,
+        q_multiples, q_ext, half_u, sm_u, use_mxu, dyn_shapes,
+    )
+
     def local_fn(glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift, *rest):
         dyn_loc = rest[:n_dyn]  # per-device residue slices of dyn tables
         leaves = rest[n_dyn:]
-        # glo/ghi: (m_loc, k+1, N); klo/khi: (k+1, level, m_loc, k+1, N)
-        # mod: local Barrett record; ipf: local ShoupFactor64 record
-        # p_limbs/p_shift: (m_loc, L+1) punctured-product limbs
-        local_plan = jax.tree.unflatten(plan_def, leaves)
-        k1 = glo.shape[-2]
-        n = glo.shape[-1]
-
-        def compose_partial(r):
-            value = jnp.zeros((n, L + 1), _U32)
-            for i in range(m_loc):
-                f = ShoupFactor64(
-                    U64(ipf.value.lo[i], ipf.value.hi[i]),
-                    U64(ipf.quotient.lo[i], ipf.quotient.hi[i]),
-                )
-                qi = U64(mod.value.lo[i], mod.value.hi[i])
-                prod = factor_mul64(U64(glo[i, r], ghi[i, r]), f, qi)
-                value, _ = big_mul_u32_add(p_limbs[i], prod.lo, value)
-                value, _ = big_mul_u32_add(p_shift[i], prod.hi, value)
-                value = big_cond_sub(value, q_ext)
-            return value
-
-        # 1. local partial composes + ALL compose psums issued up front:
-        #    each collective depends only on inputs, so on TPU the r+1
-        #    all-reduce overlaps the r-th component's NTT/MAC compute.
-        bigs = [
-            _psum_bigint(compose_partial(r), axis, L + 1, q_multiples)[..., :L]
-            for r in range(k1)
-        ]
-
-        q_loc = U64(
-            mod.value.lo.reshape(m_loc, 1), mod.value.hi.reshape(m_loc, 1)
+        return gadget_local(
+            glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift, dyn_loc, leaves
         )
-        m_bc = jax.tree.map(lambda x: x.reshape(m_loc, 1, 1), mod)
-
-        def respread(digit):  # (n,) u32 -> U64 (m_loc, n), centered lift
-            db = U64(
-                jnp.broadcast_to(digit[None], (m_loc, n)),
-                jnp.zeros((m_loc, n), _U32),
-            )
-            if small_mod == 2:
-                return db
-            lifted = u64_add(u64_sub(q_loc, sm_u), db)
-            return u64_select(u64_lt(db, half_u), db, lifted)
-
-        # 2. per-component level loops: all residue-local, no collectives.
-        acc = U64(jnp.zeros_like(glo), jnp.zeros_like(ghi))
-        for r in range(k1):
-            v, carries = basis.init_value_carry(bigs[r])
-            for lvl in range(level):
-                digit, carries = basis.unsigned_decompose_level(v, carries, lvl)
-                resp = respread(digit)
-                if use_mxu:
-                    from ..ops.ntt_mxu8_dyn import mxu8_dyn_forward64
-
-                    outs = [
-                        mxu8_dyn_forward64(
-                            tuple(t[i] for t in dyn_loc), dyn_shapes,
-                            U64(resp.lo[i], resp.hi[i]), 1,
-                        )
-                        for i in range(m_loc)
-                    ]
-                    f = U64(
-                        jnp.stack([o.lo for o in outs]),
-                        jnp.stack([o.hi for o in outs]),
-                    )
-                else:
-                    f = dcrt_forward64(local_plan, resp, 1)
-                fb = U64(f.lo[:, None, :], f.hi[:, None, :])
-                g = U64(klo[r, lvl], khi[r, lvl])
-                acc = add64(acc, mul64(g, fb, m_bc), m_bc.value)
-        return acc.lo, acc.hi
 
     sp_g = P(axis, None, None)
     sp_k = P(None, None, axis, None, None)
