@@ -62,14 +62,19 @@ _SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
 _GROUPS = re.compile(r"replica_groups=\{\{([^}]*)\}")
 
 
-def collect_hlo_bytes(n_devices: int, residue: int) -> dict:
+def collect_hlo_bytes(n_devices: int, residue: int, program: str = "explicit") -> dict:
     """Compile the production step (n_lwe=128 scan) on ``n_devices``
     virtual CPU devices with a ``residue x (n_devices/residue)`` mesh;
-    parse per-device collective wire bytes from the optimized HLO."""
+    parse per-device collective wire bytes from the optimized HLO.
+    ``program``: "explicit" (the shard_map step — split-limb compose
+    psums, sharded compose compute) or "autospmd" (GSPMD partitioning —
+    packed all-gather + REPLICATED compose compute)."""
     code = f"""
 import os, sys
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
     " --xla_force_host_platform_device_count={n_devices}"
+if {program!r} == "autospmd":
+    os.environ["PRIMUS_DRYRUN_AUTOSPMD"] = "1"
 import jax
 jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -202,14 +207,15 @@ def main():
     overlap_meas = float(os.environ.get("OVERLAP_HIDDEN_FRACTION", 0.29))
     curves = []
     for d in (2, 4, 8, 16):
-        for residue in (2, 1):
+        for residue, program in ((2, "explicit"), (2, "autospmd"), (1, "explicit")):
             if residue > d:
                 continue
-            hlo = collect_hlo_bytes(d, residue)
+            hlo = collect_hlo_bytes(d, residue, program)
             wire = hlo["total_wire_bytes"]
             t_comp = N_LWE * t_trip / d
             cell = {
                 "devices": d,
+                "program": program,
                 "mesh": {"residue": residue, "batch": d // residue},
                 "wire_bytes_per_device": wire,
                 "collectives_by_kind": hlo["by_kind"],
@@ -228,17 +234,19 @@ def main():
                 t_comp / (t_comp + t_dcn)
             )
             curves.append(cell)
-            print(f"[scaling_model] d={d} residue={residue} "
+            print(f"[scaling_model] d={d} residue={residue} {program} "
                   f"wire={wire/1e6:.2f}MB/dev "
                   f"eff(center)={cell['efficiency']['ici_45GBps_no_overlap']:.3f}",
                   file=sys.stderr)
 
-    # headline: d=8, residue=2, center ICI, measured overlap
+    # headline: d=8, residue=2, the EXPLICIT production program
     pick = next(c for c in curves
-                if c["devices"] == 8 and c["mesh"]["residue"] == 2)
+                if c["devices"] == 8 and c["mesh"]["residue"] == 2
+                and c["program"] == "explicit")
     eff_headline = pick["efficiency"]["ici_45GBps_measured_overlap"]
     eff_worst = min(
-        v for c in curves if c["mesh"]["residue"] == 2
+        v for c in curves
+        if c["mesh"]["residue"] == 2 and c["program"] == "explicit"
         for k, v in c["efficiency"].items() if "adversarial" not in k
     )
     eff_worst_corner = pick["efficiency"]["ici_22.5GBps_no_overlap"]
@@ -260,6 +268,15 @@ def main():
             "ici_band_bytes_per_s": list(ICI_BAND),
             "dcn_bytes_per_s": DCN_BYTES_PER_S,
             "overlap_hidden_fraction_from_d2_measurement": overlap_meas,
+            "program_note": (
+                "explicit = the shard_map production step (sharded "
+                "compose compute; split-limb psum halves cost 2x packed "
+                "bytes); autospmd = GSPMD partitioning of the same math "
+                "(packed gather, REPLICATED compose compute — fewer "
+                "bytes, more FLOPs).  A reduce-scatter + local-carry + "
+                "all-gather compose would cut the explicit wire ~25% "
+                "(round-5 item)."
+            ),
             "multi_host_note": (
                 "batch axis is collective-free and residue groups have "
                 "size 2: any placement keeping residue pairs intra-host "
