@@ -53,24 +53,45 @@ def _psum_bigint(partial, axis: str, n_limbs: int, q_multiples):
 
     ``partial``: ``(..., n_limbs)`` u32 limbs, canonical ``< Q`` on each
     device.  Split every limb into 16-bit halves (sums of ``D`` halves
-    stay far below 2^32), ``psum``, carry-walk back into u32 limbs, then
-    conditionally subtract the precomputed ``2^j * Q`` ladder.
+    stay far below 2^32); when the coefficient axis divides the group, a
+    **reduce-scatter + local carry-walk + all-gather** replaces the
+    all-reduce: the halves (2x packed size) ride the wire only on the
+    scatter leg and the gather leg ships PACKED u32 limbs — 3S vs the
+    all-reduce's 4S ring bytes, with the carry walk's compute sharded
+    for free.  Falls back to the psum form when the coefficient axis
+    does not divide the group.  Bit-identical either way (both compute
+    the unique canonical representative mod Q).
     """
     halves = jnp.stack([partial & 0xFFFF, partial >> 16], axis=-1).reshape(
         *partial.shape[:-1], 2 * n_limbs
     )
-    halves = jax.lax.psum(halves, axis)
-    carry = jnp.zeros(halves.shape[:-1], _U32)
-    packed = []
-    for j in range(2 * n_limbs):
-        s = halves[..., j] + carry
-        packed.append(s & 0xFFFF)
-        carry = s >> 16
-    limbs = [packed[2 * j] | (packed[2 * j + 1] << 16) for j in range(n_limbs)]
-    value = jnp.stack(limbs, axis=-1)
-    for mult in q_multiples:
-        value = big_cond_sub(value, mult)
-    return value
+    g = jax.lax.psum(1, axis)  # group size (static under jit)
+    n_coeff = partial.shape[-2]
+    use_rs = partial.ndim >= 2 and n_coeff % int(g) == 0
+
+    def finish(hv):
+        carry = jnp.zeros(hv.shape[:-1], _U32)
+        packed = []
+        for j in range(2 * n_limbs):
+            s = hv[..., j] + carry
+            packed.append(s & 0xFFFF)
+            carry = s >> 16
+        limbs = [
+            packed[2 * j] | (packed[2 * j + 1] << 16) for j in range(n_limbs)
+        ]
+        value = jnp.stack(limbs, axis=-1)
+        for mult in q_multiples:
+            value = big_cond_sub(value, mult)
+        return value
+
+    if not use_rs:
+        return finish(jax.lax.psum(halves, axis))
+    sc_dim = halves.ndim - 2  # the coefficient axis
+    shard = jax.lax.psum_scatter(
+        halves, axis, scatter_dimension=sc_dim, tiled=True
+    )
+    value = finish(shard)
+    return jax.lax.all_gather(value, axis, axis=sc_dim, tiled=True)
 
 
 def _make_gadget_local(axis, basis, plan_def, m_loc, L, level, small_mod,

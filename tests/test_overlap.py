@@ -57,11 +57,11 @@ def test_overlapped_gadget_product_bit_exact(d):
 
 
 def test_overlap_collective_structure():
-    """k+1 all-reduces (one per component), all emitted before the first
-    NTT multiply in the scheduled module — the property that lets the TPU
-    latency-hiding scheduler overlap component r+1's collective with
-    component r's level compute.  No all-gather: compose compute is split
-    across devices, not replicated."""
+    """k+1 compose collectives (one per component), now in the
+    reduce-scatter + local-carry + all-gather form: the halves (2x
+    packed bytes) ride only the scatter leg, the gather ships packed u32
+    limbs (3S vs the all-reduce's 4S ring bytes), and the carry walk is
+    sharded.  No collective-permute, no plain all-reduce."""
     base, basis, plan, glwe, ggsw = _setup()
     mesh = make_mesh(2, residue=2)
     fn = make_sharded_gadget_product(mesh, "residue", basis, plan, base)
@@ -73,8 +73,10 @@ def test_overlap_collective_structure():
         *jax.tree.flatten(plan)[0],
     ).compile().as_text()
     k1 = glwe.lo.shape[-2]
-    assert len(re.findall(r"\ball-reduce\b", txt)) >= k1
-    assert "all-gather" not in txt and "all-to-all" not in txt
+    n_rs = len(re.findall(r"\breduce-scatter\b", txt))
+    n_ag = len(re.findall(r"\ball-gather\b", txt))
+    assert n_rs >= k1 and n_ag >= k1, (n_rs, n_ag)
+    assert "collective-permute" not in txt and "all-to-all" not in txt
 
 
 def test_overlapped_gadget_product_mxu_local_ntt():

@@ -65,8 +65,9 @@ def test_sharded_rotation_bit_exact(local_ntt, log_n, n_lwe, batch):
 
 
 def test_sharded_rotation_collective_structure():
-    """Only all-reduces (the CRT composes), inside the scan — no gathers,
-    no permutes; the batch axis stays collective-free."""
+    """Only the CRT-compose collectives (reduce-scatter + all-gather
+    pairs), inside the scan — no permutes; the batch axis stays
+    collective-free."""
     import re
 
     base, basis, plan, bsk, acc, lwe = _setup(5, 4, 8)
@@ -81,6 +82,7 @@ def test_sharded_rotation_collective_structure():
         base.punctured_limbs, base.punctured_limbs_shift,
         *jax.tree.flatten(plan)[0],
     ).compile().as_text()
-    assert len(re.findall(r"\ball-reduce\b", txt)) >= 1
-    assert "all-gather" not in txt
+    n_rs = len(re.findall(r"\breduce-scatter\b", txt))
+    n_ag = len(re.findall(r"\ball-gather\b", txt))
+    assert n_rs >= 1 and n_ag >= 1, (n_rs, n_ag)
     assert "collective-permute" not in txt
