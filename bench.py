@@ -14,10 +14,11 @@ Harvey butterfly = one Shoup modmul, n/2*log2(n) per transform (x2 for the
 round trip) plus n pointwise muls — the BASELINE.json north-star unit;
 baseline target is 1e9 modmul/s/chip.
 
-Preferred path: the fused MXU four-step kernels (int8 systolic-array
-matmuls, ops/ntt_mxu.py) with the pointwise multiply fused into the
-inverse kernel.  Falls back to the fused VPU butterfly kernels
-(ops/ntt_pallas.py), then to the jnp/XLA reference path off-TPU.
+Preferred path: the fused byte-radix MXU four-step round-trip kernel
+(int8 systolic-array matmuls, ops/ntt_mxu8.py) with the pointwise
+multiply fused between the in-kernel forward and inverse.  Falls back to
+the fused VPU butterfly kernels (ops/ntt_pallas.py), then to the jnp/XLA
+reference path off-TPU.
 """
 
 import json
@@ -39,7 +40,6 @@ def main():
     n = 1 << log_n
     q = 1125899906826241  # 50-bit reference bench prime (Solinas 2^50-2^14+1)
     batch = 512
-    tile = 16
 
     rng = np.random.default_rng(7)
     data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
@@ -95,32 +95,6 @@ def main():
                 )
         except Exception as e:  # pragma: no cover - environment dependent
             print(f"[bench] mxu8 plan unavailable ({e!r})", file=sys.stderr)
-        try:
-            from primus_fhe_tpu.ops.ntt_mxu import (
-                MxuNttPlan64,
-                mxu_fused_forward64,
-                mxu_fused_inverse64_mul,
-                mxu_fused_roundtrip64_mul,
-            )
-
-            mplan = MxuNttPlan64(log_n, q)
-            rt_tile = 8  # fused-roundtrip VMEM sweet spot (tile sweep)
-            rtabs = mplan.inverse_mul_tabs(key, rt_tile)
-
-            def mxu_rt_step(v):
-                return mxu_fused_roundtrip64_mul(mplan, v, rtabs, 1, rt_tile)
-
-            candidates.append(("mxu-fused-rt", mxu_rt_step))
-
-            mtabs = mplan.inverse_mul_tabs(key, tile)
-
-            def mxu_step(v):
-                f = mxu_fused_forward64(mplan, v, 4, tile)
-                return mxu_fused_inverse64_mul(mplan, f, mtabs, 1, tile)
-
-            candidates.append(("mxu", mxu_step))
-        except Exception as e:  # pragma: no cover - environment dependent
-            print(f"[bench] mxu plan unavailable ({e!r})", file=sys.stderr)
         try:
             from primus_fhe_tpu.ops.ntt_pallas import (
                 PallasNttPlan64,

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cmux_pallas import _mulhi_u32
-from .ntt_mxu import _DOT, four_step_matrices
+from .mxu_common import _DOT, four_step_matrices
 
 _U32 = jnp.uint32
 _I32 = jnp.int32

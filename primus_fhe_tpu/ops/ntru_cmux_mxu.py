@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cmux_mxu import CmuxMxuPlan, _exact_precon32, _fit_tile, _sl, _split4, _split_digit
-from .ntt_mxu import _DOT
+from .mxu_common import _DOT
 
 _U32 = jnp.uint32
 _I32 = jnp.int32

@@ -1,10 +1,10 @@
 """Byte-radix (signed base-256) MXU four-step NTT — the wide-tier kernel.
 
-Same four-step factorization and fused-kernel structure as
-``ops/ntt_mxu.py`` (two int8 matmuls + one pointwise twiddle per
-direction, reference semantics ``crates/primus_ntt/src/ntt/prime64/
-scalar/transform.rs``), with the 7-bit unsigned limb split replaced by a
-**signed byte split**:
+Four-step (Bailey) factorization with both dense passes as exact int8
+matmuls on the systolic array plus one pointwise twiddle per direction
+(host matrices from :func:`ops.mxu_common.four_step_matrices`; reference
+semantics ``crates/primus_ntt/src/ntt/prime64/scalar/transform.rs``),
+with the coefficients entering the MXU through a **signed byte split**:
 
 * value side — the bytes of ``v`` XOR ``0x80``, bitcast to int8
   (``byte - 128``): byte boundaries align with the u32 words, so a limb
@@ -17,8 +17,9 @@ scalar/transform.rs``), with the 7-bit unsigned limb split replaced by a
 
 This buys two things over the 7-bit kernel:
 
-1. ~12.5% fewer matmul MACs and a cheaper split (7 planes instead of 8
-   for the ``q < 2^53`` tier) — the round-trip headline path;
+1. ~12.5% fewer matmul MACs than a 7-bit unsigned-limb split and a
+   cheaper per-plane extraction (7 planes instead of 8 for the
+   ``q < 2^53`` tier) — the round-trip headline path;
 2. **the 60-bit prime tier**: 8 byte planes cover any u64 value, and
    int32 digit sums stay exact (``8*256*128^2 = 2^25``), so the MXU path
    extends to ``q < 2^62`` — covering the reference's full AVX-512 range
@@ -40,7 +41,7 @@ import numpy as np
 
 from ..numeric.limb import U64
 from ..utils.contracts import check_range_u64
-from .ntt_mxu import (
+from .mxu_common import (
     _DOT,
     _const64,
     _make_shoup_lazy64,
@@ -157,8 +158,9 @@ class Mxu8NttPlan64:
     tables, and offset-correction vectors for forward + mirrored inverse.
 
     Valid for ``q < 2^62`` (8 planes; 7 when ``q < 2^53``, 4 when
-    ``q < 2^30``).  Same
-    natural-layout kernel contracts as :class:`ops.ntt_mxu.MxuNttPlan64`.
+    ``q < 2^30``).  Natural-layout kernel contracts: value/output blocks
+    are free ``(batch*A, B)`` views of the natural ``(batch, n)`` array —
+    no XLA-side transpose ever materializes.
     """
 
     def __init__(
@@ -516,7 +518,7 @@ def _unpack_tabs(rest, sol):
 
 
 # ---------------------------------------------------------------------------
-# Fused kernels (natural layout, mirror structure of ops/ntt_mxu.py)
+# Fused kernels (natural layout; chunked, stage-grouped emission)
 # ---------------------------------------------------------------------------
 
 
@@ -879,7 +881,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
 
 
 # ---------------------------------------------------------------------------
-# Entry points (contracts of the ops/ntt_mxu.py counterparts)
+# Entry points
 # ---------------------------------------------------------------------------
 
 
@@ -893,7 +895,7 @@ def mxu8_fused_forward64(
     plan: Mxu8NttPlan64, values: U64, out_factor: int = 1, tile: int = 16
 ) -> U64:
     """Byte-radix fused MXU forward NTT; contract of
-    :func:`ops.ntt_mxu.mxu_fused_forward64` (input any u64 < 2^56 for the
+    :func:`transforms.ntt.forward64` (input any u64 < 2^56 for the
     7-plane tier, any u64 for the 8-plane tier; bit-reversed output in
     ``[0, out_factor*q)``)."""
     _check_in(plan, values, "mxu8_fused_forward64 input")
@@ -953,8 +955,10 @@ def mxu8_fused_roundtrip64_mul(
     plan: Mxu8NttPlan64, values: U64, mul_tabs, out_factor: int = 1,
     tile: int = 8,
 ) -> U64:
-    """``INTT(NTT(values) * key)`` as ONE fused byte-radix kernel;
-    contract of :func:`ops.ntt_mxu.mxu_fused_roundtrip64_mul`."""
+    """``INTT(NTT(values) * key)`` — the negacyclic product by a fixed
+    NTT-domain operand (crates/primus_lattice/src/rlwe/coeff.rs:114-116)
+    — as ONE fused byte-radix kernel (bit-identical to
+    :func:`mxu8_fused_forward64` + :func:`mxu8_fused_inverse64_mul`)."""
     _check_in(plan, values, "mxu8_fused_roundtrip64_mul input")
     n, A, B = plan.n, plan.A, plan.B
     vlo, vhi, batch_shape, b, bp, tile = _pad_batch(values, n, tile)

@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..numeric.limb import U64
-from .ntt_mxu import _DOT, _make_shoup_lazy64, _make_shoup_narrow64, _shoup_tabs
+from .mxu_common import _DOT, _make_shoup_lazy64, _make_shoup_narrow64, _shoup_tabs
 from .ntt_mxu8 import Mxu8NttPlan64, _split_bytes_list, _u_bounds
 from .ntt_pallas import _add64, _min64, _sub64
 
@@ -94,7 +94,7 @@ class DynMxuTables64:
         if base.t32_tabs is None:
             # base plan took the Solinas shortcut: build the general-q
             # tables the dyn kernel needs (scaled twiddles + corr*T)
-            from .ntt_mxu import four_step_matrices as _fsm
+            from .mxu_common import four_step_matrices as _fsm
             from .ntt_mxu8 import _corr_vec as _cv
 
             fs = _fsm(log_n, q, log_n - 7, log_n - 7)
@@ -287,7 +287,7 @@ class DynMxuInvTables64:
         s32 = _shoup_tabs(np.array([[(1 << 32) % q]], dtype=object), q)
         s1 = _shoup_tabs(np.array([[1]], dtype=object), q)
         if base.tim32_tabs is None:
-            from .ntt_mxu import four_step_matrices as _fsm
+            from .mxu_common import four_step_matrices as _fsm
             from .ntt_mxu8 import _corr_vec as _cv, _byte_matrix as _bm
 
             fs = _fsm(log_n, q, log_n - 7, log_n - 7)

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..numeric.limb import U64
-from ..ops.ntt_mxu import _DOT, _const64, _make_shoup_lazy64, _make_shoup_narrow64
+from ..ops.mxu_common import _DOT, _const64, _make_shoup_lazy64, _make_shoup_narrow64
 from ..ops.ntt_mxu8 import (
     Mxu8NttPlan64,
     _finish8,

@@ -12,7 +12,8 @@ transform as
 
 so every butterfly still runs VMEM-resident in the fused kernel and only
 the (cheap, XLA-handled) block transposes and the twiddle touch HBM.  The
-index algebra matches ``ops/ntt_mxu.MxuNttPlan64`` (same factorization,
+index algebra matches ``ops.mxu_common.four_step_matrices`` (same
+factorization,
 sub-transforms on the VPU instead of int8 matmuls), and the minimal-root
 convention of ``GoldenNtt`` is preserved because both sub-plans are built
 from explicit powers of the SAME top-level minimal root.
