@@ -632,7 +632,10 @@ def mxu_cmux_step_nat(
     bsz = acc_nat.shape[0]
     A, B = plan.A, plan.B
     kp = len(plan.primes)
-    pad1 = bsz == 1  # single-poly i8 chunks trip an XLA-CPU LLVM bug
+    # Single-poly i8 chunks trip an XLA-CPU LLVM bug in INTERPRET mode
+    # only; on real TPU hardware batch 1 runs unpadded (half the work —
+    # the single-gate latency a circuit user feels).
+    pad1 = bsz == 1 and jax.default_backend() != "tpu"
     if pad1:
         acc_nat = jnp.concatenate([acc_nat, jnp.zeros_like(acc_nat)])
         degrees = jnp.concatenate(

@@ -268,7 +268,8 @@ def ntru_cmux_step_nat(
     """
     bsz = acc_nat.shape[0]
     A, B = plan.A, plan.B
-    pad1 = bsz == 1  # single-poly i8 chunks trip an XLA-CPU LLVM bug
+    # interpret-mode-only XLA-CPU LLVM bug; real TPU runs batch 1 unpadded
+    pad1 = bsz == 1 and jax.default_backend() != "tpu"
     if pad1:
         acc_nat = jnp.concatenate([acc_nat, jnp.zeros_like(acc_nat)])
         degrees = jnp.concatenate(

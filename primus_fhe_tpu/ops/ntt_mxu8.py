@@ -169,8 +169,21 @@ class Mxu8NttPlan64:
         q: int,
         h1: int | None = None,
         root: int | None = None,
+        planes: int | None = None,
     ):
-        self.planes = P = _planes_for(q)
+        # ``planes`` overrides the natural tier upward (used by the
+        # dynamic-q stacks to keep a heterogeneous residue set on ONE
+        # plane count — e.g. a 50-bit modulus built at 8 planes so it
+        # shares the SPMD program with a 60-bit neighbour)
+        natural = _planes_for(q)
+        if planes is None:
+            planes = natural
+        elif planes not in (4, 7, 8) or planes < natural:
+            raise ValueError(
+                f"planes override must be in {{4,7,8}} and >= the natural "
+                f"tier {natural}, got {planes}"
+            )
+        self.planes = P = planes
         self.log_n = log_n
         self.n = n = 1 << log_n
         self.q = q
@@ -435,6 +448,7 @@ def _planes_to_y(digs, bias: int, bounds, sol):
 def _twiddle8(
     q, sol, shoup, narrow, v_lo, v_hi, corr, t_t, t32_t, ct_t, qc,
     high_bound: int | None = None, y=None, u32_tier: bool = False,
+    bounds=None,
 ):
     """Twiddle on biased halves: Solinas folds + corr-add + ONE Shoup
     (output < 4q); general q: two narrow Shoups (reduced once to < 4q) +
@@ -442,16 +456,22 @@ def _twiddle8(
     ``y`` short-circuits the fold when the caller already holds the
     fused planes→representative value (:func:`_planes_to_y`);
     ``u32_tier`` (4 planes) drops the high-half Shoup — the recombined
-    high half of a 4-plane digit sum is identically zero."""
+    high half of a 4-plane digit sum is identically zero.  ``bounds``
+    (the pass's ``_u_bounds``) gates the narrow Shoup: a half whose
+    PROVEN bound reaches 2^48 (the 8-plane B-contractions) must take the
+    full lazy Shoup — narrow's dropped y3 row would corrupt the quotient
+    for adversarial digit sums."""
     if sol:
         if y is None:
             y = _fold32(v_lo, v_hi, sol, high_bound)
         y = _add64(*y, *corr)
         return shoup(*y, *t_t, *qc)
-    m1 = narrow(*v_lo, *t_t, *qc)
+    lo_mul = narrow if bounds is None or bounds[0] < 1 << 48 else shoup
+    hi_mul = narrow if bounds is None or bounds[1] < 1 << 48 else shoup
+    m1 = lo_mul(*v_lo, *t_t, *qc)
     if u32_tier:
         return _add64(*m1, *ct_t)  # m1 < 4q; output < 5q as below
-    m2 = narrow(*v_hi, *t32_t, *qc)
+    m2 = hi_mul(*v_hi, *t32_t, *qc)
     if 8 * q >= 1 << 64:  # 61/62-bit tier: keep every sum inside u64
         m1 = _reduce_once64(*m1, *_const64(2 * q))
         m2 = _reduce_once64(*m2, *_const64(2 * q))
@@ -476,7 +496,10 @@ def _finish8(
         if u32_tier:  # 4-plane high half is identically zero: skip it
             t = _add64(*v2l, *corr)
         else:
-            mh = narrow(*v2h, *_sconst((1 << 32) % q, q), *qc)
+            # narrow is only sound below its y < 2^48 contract (see
+            # _twiddle8); the 8-plane B-contraction can prove up to 2^49
+            hi_mul = narrow if high_b < 1 << 48 else shoup
+            mh = hi_mul(*v2h, *_sconst((1 << 32) % q, q), *qc)
             if 8 * q >= 1 << 64:  # 61/62-bit tier: sums must fit u64
                 mh = _reduce_once64(*mh, *_const64(2 * q))
             t = _add64(*_add64(*v2l, *mh), *corr)
@@ -568,7 +591,7 @@ def _make_fwd_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     q, sol, shoup, narrow,
                     None if y else (v_lo[0][:, lanes], v_lo[1][:, lanes]),
                     None if y else (v_hi[0][:, lanes], v_hi[1][:, lanes]),
-                    c1, t_t, t32, ct, qc, b1[1],
+                    c1, t_t, t32, ct, qc, b1[1], bounds=b1,
                     y=(y[0][:, lanes], y[1][:, lanes]) if y else None,
                     u32_tier=u32t,
                 )
@@ -657,7 +680,7 @@ def _make_inv_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int, mul: bool
                     q, sol, shoup, narrow,
                     None if y else (v_lo[0][rows, :], v_lo[1][rows, :]),
                     None if y else (v_hi[0][rows, :], v_hi[1][rows, :]),
-                    c1, t_t, t32, ct, qc, b1[1],
+                    c1, t_t, t32, ct, qc, b1[1], bounds=b1,
                     y=(y[0][rows, :], y[1][rows, :]) if y else None,
                     u32_tier=u32t,
                 )
@@ -764,7 +787,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     q, sol, shoup, narrow,
                     None if y else (v_lo[0][:, lanes], v_lo[1][:, lanes]),
                     None if y else (v_hi[0][:, lanes], v_hi[1][:, lanes]),
-                    cf1, t_t, t32, ct, qc, bf1[1],
+                    cf1, t_t, t32, ct, qc, bf1[1], bounds=bf1,
                     y=(y[0][:, lanes], y[1][:, lanes]) if y else None,
                     u32_tier=u32t,
                 )
@@ -835,7 +858,7 @@ def _make_rt_kernel8(plan: Mxu8NttPlan64, out_factor: int, tile: int):
                     q, sol, shoup, narrow,
                     None if y else (v_lo[0][rows, :], v_lo[1][rows, :]),
                     None if y else (v_hi[0][rows, :], v_hi[1][rows, :]),
-                    ci1, t_t, t32, ct, qc, bi1[1],
+                    ci1, t_t, t32, ct, qc, bi1[1], bounds=bi1,
                     y=(y[0][rows, :], y[1][rows, :]) if y else None,
                     u32_tier=u32t,
                 )

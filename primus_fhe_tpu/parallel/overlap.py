@@ -225,7 +225,7 @@ def make_sharded_gadget_product(
         local_ntt == "auto"
         and jax.default_backend() == "tpu"
         and plan.log_n >= 8
-        and all((1 << 30) <= q < (1 << 53) for q in plan.moduli)
+        and all((1 << 30) <= q < (1 << 62) for q in plan.moduli)
     )
     if use_mxu:
         from ..ops.ntt_mxu8_dyn import stack_dyn_tables

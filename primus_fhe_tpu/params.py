@@ -52,6 +52,59 @@ BOOLEAN_128 = TfheParams(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class NtruParams:
+    """NTRU (FINAL/NGS-style) mod-q parameter set.
+
+    ``q`` must be an NTT prime ≡ 1 (mod 2^(log_n+1)); ``t_scale=8`` gives
+    the ±q/8 boolean encodings the gate layer needs."""
+
+    log_n: int  # NTRU ring degree (N = 2^log_n)
+    q_bits: int  # NTRU modulus size (q = largest NTT prime < 2^q_bits)
+    lwe_dim: int  # n_lwe (binary LWE dimension)
+    log_basis: int  # gadget basis for the NGS external product
+    level: int  # gadget levels
+    ks_log_basis: int  # key-switch basis
+    ks_level: int  # key-switch levels
+    sigma: float  # Gaussian noise stddev (mod-q units)
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def q(self) -> int:
+        from .utils.primes import next_ntt_prime
+
+        return next_ntt_prime(self.q_bits, self.log_n)
+
+
+# 128-bit-class NTRU boolean profile: the FINAL geometry (Bonte et al.,
+# EUROCRYPT'22 NGS setting) — N=1024 with a ~2^20 NTRU modulus, binary
+# LWE dimension 610, near-ternary noise.  B=2^4 x L=5 covers the 20-bit
+# modulus; the gate noise budget closes with ~9 sigma of decision margin
+# (rotation noise sigma*(B/2)*sqrt(N*L*n_lwe) ~ 2^12.8 vs the q/16
+# boolean margin 2^16).  As with BOOLEAN_128, re-validate noise/dimension
+# with a lattice estimator before production use.
+NTRU_128 = NtruParams(
+    log_n=10, q_bits=20, lwe_dim=610,
+    log_basis=4, level=5, ks_log_basis=4, ks_level=5,
+    sigma=0.5,
+)
+
+
+def make_ntru_context(params: NtruParams = NTRU_128):
+    """NtruContext + key-switch basis for a named NTRU profile."""
+    from .boot.ntru_blind_rotate import NtruContext
+    from .decompose import ApproxSignedBasis32
+
+    ctx = NtruContext(
+        params.log_n, params.q, params.log_basis, params.level, t_scale=8
+    )
+    ks_basis = ApproxSignedBasis32(params.q, params.ks_log_basis, params.ks_level)
+    return ctx, ks_basis
+
+
 @dataclasses.dataclass
 class TfheContext:
     """Everything needed to evaluate: keys, plans, bases, convolver."""

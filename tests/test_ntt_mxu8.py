@@ -192,3 +192,70 @@ def test_mxu8_extreme_inputs(log_n, q):
         expect = g.forward([int(x) % q for x in row])
         got = [int(x) for x in np.asarray(out)[r]]
         assert got == expect, (q, r)
+
+
+def test_twiddle8_wide_halves_sound():
+    """Worst-case soundness of the general-q twiddle/finish folds: the
+    8-plane B-contraction can PROVE recombined halves up to ~2^49, past
+    the narrow Shoup's y < 2^48 contract.  _twiddle8/_finish8 must route
+    such halves through the full lazy Shoup (regression for the
+    narrow-overrun fix); exercised here directly on synthetic halves at
+    the bound, checked against exact Python arithmetic."""
+    import jax
+    import jax.numpy as jnp
+
+    from primus_fhe_tpu.ops.mxu_common import (
+        _const64,
+        _make_shoup_lazy64,
+        _make_shoup_narrow64,
+        _shoup_tabs,
+    )
+    from primus_fhe_tpu.ops.ntt_mxu8 import _twiddle8
+
+    q = 4611686018425815041  # 62-bit non-Solinas
+    rng = np.random.default_rng(11)
+    # halves just past the narrow bound (the proven 8-plane worst case)
+    ylo = rng.integers(0, 1 << 49, size=(8, 128), dtype=np.uint64)
+    yhi = rng.integers(0, 1 << 49, size=(8, 128), dtype=np.uint64)
+    tw = rng.integers(1, q, size=(8, 128), dtype=np.uint64).astype(object)
+    t_t = [jnp.asarray(t) for t in _shoup_tabs(tw, q)]
+    t32 = [
+        jnp.asarray(t)
+        for t in _shoup_tabs((tw * ((1 << 32) % q)) % q, q)
+    ]
+    corr = rng.integers(0, q, size=(8, 128), dtype=np.uint64).astype(object)
+    ct = [
+        jnp.asarray(t)
+        for t in (
+            np.vectorize(lambda v: int(v) & 0xFFFFFFFF, otypes=[np.uint32])(corr),
+            np.vectorize(lambda v: int(v) >> 32, otypes=[np.uint32])(corr),
+        )
+    ]
+    shoup = _make_shoup_lazy64(q, exact=False)
+    narrow = _make_shoup_narrow64(q)
+    pair = lambda a: (
+        jnp.asarray((a & 0xFFFFFFFF).astype(np.uint32)),
+        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)),
+    )
+    bounds = (1 << 49, 1 << 49, 0)  # force the full-lazy route
+
+    @jax.jit
+    def run():
+        return _twiddle8(
+            q, None, shoup, narrow, pair(ylo), pair(yhi), ct, t_t, t32, ct,
+            _const64(q), bounds=bounds,
+        )
+
+    rlo, rhi = run()
+    got = np.asarray(rlo).astype(np.uint64) | (
+        np.asarray(rhi).astype(np.uint64) << np.uint64(32)
+    )
+    for i in range(8):
+        for j in range(0, 128, 17):
+            want = (
+                int(ylo[i, j]) * int(tw[i, j])
+                + int(yhi[i, j]) * int(tw[i, j]) * (1 << 32)
+            ) % q
+            want = (want + int(corr[i, j])) % q
+            assert int(got[i, j]) % q == want, (i, j)
+            assert int(got[i, j]) < 16 * q  # lazy but bounded

@@ -26,17 +26,20 @@ pytestmark = [
 ]
 
 MODULI = [1125899906826241, 1125899906629633]
+# 8-plane tier: 60-bit Solinas golden prime + a general 60-bit neighbour
+# (the reference's AVX-512 range — the MXU routing must serve it)
+MODULI60 = [1152921504606830593, 1152921504606748673]
 
 
-def _setup(log_n, n_lwe, batch, log_basis=25):
+def _setup(log_n, n_lwe, batch, log_basis=25, moduli=MODULI):
     n = 1 << log_n
-    base = RNSBase64(MODULI)
+    base = RNSBase64(moduli)
     basis = BigUintApproxSignedBasis(base, log_basis)
-    plan = build_dcrt_plan64(log_n, MODULI)
+    plan = build_dcrt_plan64(log_n, moduli)
     level = basis.decompose_length
     k1 = 2
     rng = np.random.default_rng(7)
-    q0 = min(MODULI)
+    q0 = min(moduli)
     bsk = to_u64_pair(rng.integers(
         0, q0, size=(n_lwe, k1, level, 2, k1, n), dtype=np.uint64))
     acc = to_u64_pair(rng.integers(
@@ -46,12 +49,14 @@ def _setup(log_n, n_lwe, batch, log_basis=25):
     return base, basis, plan, bsk, acc, lwe
 
 
-@pytest.mark.parametrize("local_ntt,log_n,n_lwe,batch", [
-    ("jnp", 5, 4, 8),
-    ("mxu", 8, 2, 8),
+@pytest.mark.parametrize("local_ntt,log_n,n_lwe,batch,moduli", [
+    ("jnp", 5, 4, 8, MODULI),
+    ("mxu", 8, 2, 8, MODULI),
+    ("mxu", 8, 2, 8, MODULI60),  # 8-plane dyn kernels under shard_map
 ])
-def test_sharded_rotation_bit_exact(local_ntt, log_n, n_lwe, batch):
-    base, basis, plan, bsk, acc, lwe = _setup(log_n, n_lwe, batch)
+def test_sharded_rotation_bit_exact(local_ntt, log_n, n_lwe, batch, moduli):
+    base, basis, plan, bsk, acc, lwe = _setup(log_n, n_lwe, batch,
+                                              moduli=moduli)
     want = dcrt_blind_rotate_batched(plan, basis, base, bsk, lwe, acc)
 
     mesh = make_mesh(8, residue=2)
