@@ -48,28 +48,41 @@ from ..transforms.dcrt import DcrtPlan64, dcrt_forward64
 _U32 = jnp.uint32
 
 
-def _psum_bigint(partial, axis: str, n_limbs: int, q_multiples):
+def _psum_bigint(partial, axis: str, n_limbs: int, q_multiples,
+                 q_bits: int | None = None):
     """Exact cross-device big-int sum mod Q.
 
     ``partial``: ``(..., n_limbs)`` u32 limbs, canonical ``< Q`` on each
-    device.  Split every limb into 16-bit halves (sums of ``D`` halves
-    stay far below 2^32); when the coefficient axis divides the group, a
+    device.  When the coefficient axis divides the group, a
     **reduce-scatter + local carry-walk + all-gather** replaces the
-    all-reduce: the halves (2x packed size) ride the wire only on the
-    scatter leg and the gather leg ships PACKED u32 limbs — 3S vs the
-    all-reduce's 4S ring bytes, with the carry walk's compute sharded
-    for free.  Falls back to the psum form when the coefficient axis
-    does not divide the group.  Bit-identical either way (both compute
-    the unique canonical representative mod Q).
-    """
-    halves = jnp.stack([partial & 0xFFFF, partial >> 16], axis=-1).reshape(
-        *partial.shape[:-1], 2 * n_limbs
-    )
-    g = jax.lax.psum(1, axis)  # group size (static under jit)
-    n_coeff = partial.shape[-2]
-    use_rs = partial.ndim >= 2 and n_coeff % int(g) == 0
+    all-reduce, and with ``q_bits`` (= Q.bit_length()) known the scatter
+    leg ships **W-bit limbs packed into u32 lanes**, ``W = 32 -
+    ceil(log2 D)`` — sums of D such limbs are exact in u32, so the
+    payload is ``ceil(q_bits/W)`` words: the packed information floor
+    for every realistic (D, Q) (e.g. the production 101-bit Q at D<=8
+    ships 4 words, exactly the packed size, vs 10 for 16-bit halves).
+    The gather leg ships the canonical result in ``ceil(q_bits/32)``
+    packed words.  Without ``q_bits`` (or when the W-repack cannot hold
+    the carry word) the 16-bit-halves form is used; when the coefficient
+    axis does not divide the group, a plain halves all-reduce.
+    Bit-identical in every case (all compute the unique canonical
+    representative mod Q)."""
+    import os
 
-    def finish(hv):
+    g = jax.lax.psum(1, axis)  # group size (static under jit)
+    n_coeff = partial.shape[-2] if partial.ndim >= 2 else 0
+    use_rs = partial.ndim >= 2 and n_coeff % int(g) == 0
+    # measurement aid (bench_scaling_model): ablate the wire while keeping
+    # every local op — the scatter becomes a static slice, the gather a
+    # tile.  Results are numerically WRONG; timing-only.
+    ablate = os.environ.get("PRIMUS_ABLATE_COMPOSE") == "1"
+
+    def cond_ladder(value):
+        for mult in q_multiples:
+            value = big_cond_sub(value, mult)
+        return value
+
+    def finish_halves(hv):
         carry = jnp.zeros(hv.shape[:-1], _U32)
         packed = []
         for j in range(2 * n_limbs):
@@ -79,23 +92,96 @@ def _psum_bigint(partial, axis: str, n_limbs: int, q_multiples):
         limbs = [
             packed[2 * j] | (packed[2 * j + 1] << 16) for j in range(n_limbs)
         ]
-        value = jnp.stack(limbs, axis=-1)
-        for mult in q_multiples:
-            value = big_cond_sub(value, mult)
-        return value
+        return cond_ladder(jnp.stack(limbs, axis=-1))
+
+    log_g = (int(g) - 1).bit_length()
+    W = 32 - log_g
+    n_w = -(-int(q_bits) // W) if q_bits else 0
+    narrow_ok = (
+        use_rs
+        and q_bits is not None
+        and 0 < q_bits <= 32 * n_limbs
+        and n_w * W + 32 <= 32 * n_limbs  # carry word must fit the pack
+    )
 
     if not use_rs:
-        return finish(jax.lax.psum(halves, axis))
-    sc_dim = halves.ndim - 2  # the coefficient axis
-    shard = jax.lax.psum_scatter(
-        halves, axis, scatter_dimension=sc_dim, tiled=True
-    )
-    value = finish(shard)
-    return jax.lax.all_gather(value, axis, axis=sc_dim, tiled=True)
+        halves = jnp.stack(
+            [partial & 0xFFFF, partial >> 16], axis=-1
+        ).reshape(*partial.shape[:-1], 2 * n_limbs)
+        return finish_halves(jax.lax.psum(halves, axis))
+
+    sc_dim = partial.ndim - 2  # the coefficient axis
+
+    if not narrow_ok:
+        halves = jnp.stack(
+            [partial & 0xFFFF, partial >> 16], axis=-1
+        ).reshape(*partial.shape[:-1], 2 * n_limbs)
+        shard = jax.lax.psum_scatter(
+            halves, axis, scatter_dimension=sc_dim, tiled=True
+        )
+        value = finish_halves(shard)
+        return jax.lax.all_gather(value, axis, axis=sc_dim, tiled=True)
+
+    mask_w = _U32((1 << W) - 1)
+
+    # repack u32 limbs -> n_w W-bit limbs (u32 lanes)
+    narrow = []
+    for j in range(n_w):
+        o = j * W
+        i0, s = o // 32, o % 32
+        w = partial[..., i0] >> s if s else partial[..., i0]
+        if s + W > 32 and i0 + 1 < n_limbs:
+            w = w | (partial[..., i0 + 1] << (32 - s))
+        narrow.append(w & mask_w)
+    narrow = jnp.stack(narrow, axis=-1)
+
+    if ablate:
+        shard = jax.lax.slice_in_dim(
+            narrow, 0, n_coeff // int(g), axis=sc_dim
+        ) * _U32(int(g))
+    else:
+        shard = jax.lax.psum_scatter(
+            narrow, axis, scatter_dimension=sc_dim, tiled=True
+        )  # exact: D * (2^W - 1) < 2^32
+
+    # local carry walk over W-bit limb sums; the final carry is one extra
+    # word at offset n_w*W (total < D*Q, bounded by the narrow_ok check)
+    carry = jnp.zeros(shard.shape[:-1], _U32)
+    ws = []
+    for j in range(n_w):
+        s = shard[..., j] + carry
+        ws.append(s & mask_w)
+        carry = s >> W
+    ws.append(carry)
+
+    # pack W-limbs back into u32 words
+    limbs = [jnp.zeros(shard.shape[:-1], _U32) for _ in range(n_limbs)]
+    for j, w in enumerate(ws):
+        o = j * W
+        i0, s = o // 32, o % 32
+        limbs[i0] = limbs[i0] | (w << s if s else w)
+        if s and i0 + 1 < n_limbs:
+            limbs[i0 + 1] = limbs[i0 + 1] | (w >> (32 - s))
+    value = cond_ladder(jnp.stack(limbs, axis=-1))
+
+    # gather only the packed canonical words; top words of the full-width
+    # layout are identically zero (value < Q < 2^q_bits)
+    n_out = -(-int(q_bits) // 32)
+    if ablate:
+        gathered = jnp.concatenate([value[..., :n_out]] * int(g), axis=sc_dim)
+    else:
+        gathered = jax.lax.all_gather(
+            value[..., :n_out], axis, axis=sc_dim, tiled=True
+        )
+    if n_out < n_limbs:
+        pad = jnp.zeros(gathered.shape[:-1] + (n_limbs - n_out,), _U32)
+        gathered = jnp.concatenate([gathered, pad], axis=-1)
+    return gathered
 
 
 def _make_gadget_local(axis, basis, plan_def, m_loc, L, level, small_mod,
-                       q_multiples, q_ext, half_u, sm_u, use_mxu, dyn_shapes):
+                       q_multiples, q_ext, half_u, sm_u, use_mxu, dyn_shapes,
+                       q_bits=None):
     """The per-device gadget-product body, reusable from other shard_map
     programs (the sharded blind rotation wraps it in a batch vmap inside
     its CMux scan).  Operands are UNBATCHED: ``glo/ghi (m_loc, k+1, N)``,
@@ -126,7 +212,8 @@ def _make_gadget_local(axis, basis, plan_def, m_loc, L, level, small_mod,
         #    each collective depends only on inputs, so on TPU the r+1
         #    all-reduce overlaps the r-th component's NTT/MAC compute.
         bigs = [
-            _psum_bigint(compose_partial(r), axis, L + 1, q_multiples)[..., :L]
+            _psum_bigint(compose_partial(r), axis, L + 1, q_multiples,
+                         q_bits)[..., :L]
             for r in range(k1)
         ]
 
@@ -251,6 +338,7 @@ def make_sharded_gadget_product(
     gadget_local = _make_gadget_local(
         axis, basis, plan_def, m_loc, L, level, small_mod,
         q_multiples, q_ext, half_u, sm_u, use_mxu, dyn_shapes,
+        q_bits=q_prod.bit_length(),
     )
 
     def local_fn(glo, ghi, klo, khi, mod, ipf, p_limbs, p_shift, *rest):

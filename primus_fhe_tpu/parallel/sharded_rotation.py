@@ -99,6 +99,7 @@ def make_sharded_blind_rotation(
     gadget_local = _make_gadget_local(
         r_axis, basis, plan_def, m_loc, L, level, small_mod,
         q_multiples, q_ext, half_u, sm_u, use_mxu, dyn_shapes,
+        q_bits=q_prod.bit_length(),
     )
 
     def local_fn(blo, bhi, lwe, alo, ahi, mod, ipf, p_limbs, p_shift, *rest):
