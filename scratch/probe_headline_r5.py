@@ -40,6 +40,24 @@ data = to_u64_pair(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
 key = rng.integers(0, q, size=(n,), dtype=np.uint64)
 
 
+def timeit_chain_t(make_step, init, label, r1=8, r2=40, tries=3):
+    """Chained timing with an explicit tuple carry."""
+    @jax.jit
+    def cal(v, reps):
+        v = jax.lax.fori_loop(0, reps, lambda _, x: make_step(x), v)
+        return jnp.sum(v[0] ^ v[1], dtype=jnp.uint32)
+
+    _ = float(cal(init, r1)); _ = float(cal(init, r2))
+    t1s, t2s = [], []
+    for _ in range(tries):
+        t0 = time.perf_counter(); _ = float(cal(init, r1)); t1 = time.perf_counter()
+        _ = float(cal(init, r2)); t2 = time.perf_counter()
+        t1s.append(t1 - t0); t2s.append(t2 - t1)
+    dt = (min(t2s) - min(t1s)) / (r2 - r1)
+    print(f"[probe] {label}: {dt*1e6:.1f} us/rep", file=sys.stderr, flush=True)
+    return dt
+
+
 def timeit_chain(make_step, label, r1=8, r2=40, tries=3):
     """Chained fori_loop timing; returns seconds per rep."""
     @jax.jit
@@ -119,7 +137,7 @@ def part_b():
     v_spec = pl.BlockSpec((tile * A, B), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def step(v):
-        lo, hi = (v if isinstance(v, tuple) else (v.lo, v.hi))
+        lo, hi = v
         lo2, hi2 = pl.pallas_call(
             kernel, grid=(batch // tile,),
             in_specs=[w_spec(w1.shape), w_spec(w2.shape), w_spec(w1m.shape),
@@ -129,19 +147,26 @@ def part_b():
         )(w1, w2, w1m, w2m, lo.reshape(batch * A, B), hi.reshape(batch * A, B))
         return (lo2.reshape(batch, n), hi2.reshape(batch, n))
 
-    dt = timeit_chain(step, "B: mm skeleton (4 dots)")
+    global data
+    data_t = (data.lo, data.hi)
+    import types
+    dt = timeit_chain_t(step, data_t, "B: mm skeleton (4 dots)")
     mm = batch * (n * log_n + n) / dt
     print(f"[probe] B: skeleton -> {mm/1e9:.1f}e9 modmul/s-equniv ceiling")
     return dt
 
 
 def part_c():
-    """Per-r0 weight-reload amplification, pure MXU microbench."""
-    A, PB = 32, 896
+    """Per-r0 weight-reload amplification, pure MXU microbench.
+
+    The full A=32 per-r0 weight set (25.7 MB) does not compile (scoped
+    VMEM OOM — part of the probe's evidence); A=8 (6.4 MB, resident)
+    measures the per-dot cost cleanly and scales linearly in A."""
+    A, PB = 8, 896
     for tile in (64, 128):
         rows = tile
         wid = jnp.asarray(np.random.randint(-127, 127, size=(A, PB, PB), dtype=np.int8))
-        wbig = jnp.asarray(np.random.randint(-127, 127, size=(PB, PB), dtype=np.int8))
+        wbig = jnp.asarray(np.random.randint(-127, 127, size=(2, PB, PB), dtype=np.int8))
         xs = jnp.asarray(np.random.randint(-127, 127, size=(A * rows, PB), dtype=np.int8))
 
         def kern_per_r0(w_ref, x_ref, o_ref):
@@ -150,8 +175,9 @@ def part_c():
                     x_ref[r * rows:(r + 1) * rows, :], w_ref[r])
 
         def kern_big(w_ref, x_ref, o_ref):
-            o_ref[:] = _DOT(x_ref[:], w_ref[:])
-            o_ref[:] = _DOT(x_ref[:], w_ref[:])  # two big dots (what the fold replaces)
+            # two DISTINCT big dots summed (what the fold replaces); the
+            # sum defeats dead-store elimination
+            o_ref[:] = _DOT(x_ref[:], w_ref[0]) + _DOT(x_ref[:], w_ref[1])
 
         w_spec = lambda s: pl.BlockSpec(s, lambda: tuple(0 for _ in s), memory_space=pltpu.VMEM)
         perr0 = pl.pallas_call(
@@ -173,13 +199,13 @@ def part_c():
                     return (o & 127).astype(jnp.int8)
                 x = jax.lax.fori_loop(0, reps, body, x)
                 return jnp.sum(x.astype(jnp.int32))
-            _ = float(chain(xs, 8)); _ = float(chain(xs, 40))
+            _ = float(chain(xs, 64)); _ = float(chain(xs, 1064))
             t1s, t2s = [], []
             for _ in range(3):
-                t0 = time.perf_counter(); _ = float(chain(xs, 8)); t1 = time.perf_counter()
-                _ = float(chain(xs, 40)); t2 = time.perf_counter()
+                t0 = time.perf_counter(); _ = float(chain(xs, 64)); t1 = time.perf_counter()
+                _ = float(chain(xs, 1064)); t2 = time.perf_counter()
                 t1s.append(t1 - t0); t2s.append(t2 - t1)
-            dt = (min(t2s) - min(t1s)) / 32
+            dt = (min(t2s) - min(t1s)) / 1000
             macs = A * rows * PB * PB * (1 if name.startswith("per") else 2)
             print(f"[probe] C tile={tile} {name}: {dt*1e6:.1f} us "
                   f"({macs/dt/1e12:.1f} Tmac/s)")
