@@ -273,14 +273,24 @@ else:
     t_full = run("", "full")
     t_abl = run('os.environ["PRIMUS_ABLATE_COMPOSE"] = "1"', "full")
     t_coll = run("", "coll")
-    exposed = max(t_full - t_abl, 0.0) / max(t_coll, 1e-12)
-    hidden = min(max(1.0 - exposed, 0.0), 1.0)
+    delta = t_full - t_abl
+    # Conclusive only when the collective share is resolvable: on this
+    # host the standalone collectives are a sub-percent sliver of the
+    # CPU step, far below run-to-run noise — then NO overlap credit is
+    # claimed (hidden=None) and the model's headline stays zero-overlap.
+    conclusive = t_coll > 0.02 * t_full and delta > 0
+    exposed = max(delta, 0.0) / max(t_coll, 1e-12)
+    hidden = min(max(1.0 - exposed, 0.0), 1.0) if conclusive else None
     print(f"[scaling_model] d=8 overlap: full={t_full*1e3:.1f}ms "
           f"ablated={t_abl*1e3:.1f}ms coll={t_coll*1e3:.1f}ms "
-          f"exposed={exposed:.2f} hidden={hidden:.2f}", file=sys.stderr)
+          f"conclusive={conclusive} hidden={hidden}", file=sys.stderr)
     return {"t_full_s": t_full, "t_ablated_s": t_abl,
             "t_collective_standalone_s": t_coll,
-            "exposed_fraction": exposed, "hidden_fraction": hidden}
+            "conclusive": conclusive,
+            "note": ("collective share below host noise floor; no "
+                     "overlap credit claimed" if not conclusive else
+                     "measured at d=8 with the explicit program"),
+            "hidden_fraction": hidden}
 
 
 def main():
@@ -294,6 +304,7 @@ def main():
     else:
         overlap_src = measure_overlap_d8()
         overlap_meas = overlap_src["hidden_fraction"]
+    claim_overlap = overlap_meas is not None
     curves = []
     for d in (2, 4, 8, 16):
         for residue, program in ((2, "explicit"), (2, "autospmd"), (1, "explicit")):
@@ -310,9 +321,15 @@ def main():
                 "collectives_by_kind": hlo["by_kind"],
                 "efficiency": {},
             }
+            ov_rows = [("no_overlap", 0.0)]
+            if claim_overlap:
+                ov_rows.append(("measured_overlap", overlap_meas))
+            else:
+                # continuity with the r3/r4 sensitivity band; clearly a
+                # hypothesis, never the headline
+                ov_rows.append(("hypothetical_overlap29", 0.29))
             for ici in ICI_BAND:
-                for ov_name, ov in (("no_overlap", 0.0),
-                                    ("measured_overlap", overlap_meas)):
+                for ov_name, ov in ov_rows:
                     t_wire = wire / ici * (1 - ov)
                     cell["efficiency"][f"ici_{ici/1e9:g}GBps_{ov_name}"] = (
                         t_comp / (t_comp + t_wire)
@@ -332,11 +349,17 @@ def main():
     pick = next(c for c in curves
                 if c["devices"] == 8 and c["mesh"]["residue"] == 2
                 and c["program"] == "explicit")
-    eff_headline = pick["efficiency"]["ici_45GBps_measured_overlap"]
+    # headline: zero-overlap credit unless the d=8 overlap measurement
+    # was conclusive (the >=80% north star must hold EXPOSED)
+    eff_headline = pick["efficiency"][
+        "ici_45GBps_measured_overlap" if claim_overlap
+        else "ici_45GBps_no_overlap"
+    ]
     eff_worst = min(
         v for c in curves
         if c["mesh"]["residue"] == 2 and c["program"] == "explicit"
-        for k, v in c["efficiency"].items() if "adversarial" not in k
+        for k, v in c["efficiency"].items()
+        if "adversarial" not in k and "hypothetical" not in k
     )
     eff_worst_corner = pick["efficiency"]["ici_22.5GBps_no_overlap"]
 

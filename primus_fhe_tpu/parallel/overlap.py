@@ -9,14 +9,17 @@ a fully *replicated* compose on every device.  This module is the
 explicit ``shard_map`` version, designed so the collective both shrinks
 and overlaps with compute:
 
-1. **Compose as a psum of partial composes.**  Each device folds only its
-   own residues into the big-int accumulator (canonical ``< Q``), then the
-   cross-device sum runs as one ``psum`` of 16-bit limb halves (u32 lanes
-   cannot overflow for any realistic device count), followed by a local
-   carry walk and ``log2(D)`` conditional subtracts of ``2^j * Q``.  The
-   composed value is bit-identical to the sequential single-device
+1. **Compose as a reduced sum of partial composes at the packed floor.**
+   Each device folds only its own residues into the big-int accumulator
+   (canonical ``< Q``); the cross-device sum runs as a reduce-scatter of
+   W-bit limbs packed into u32 lanes (``W = 32 - ceil(log2 D)`` — sums
+   of D such limbs are exact in u32, and the payload is the packed size
+   for realistic (D, Q)), a SHARDED local carry walk + ``log2(D)``
+   conditional subtracts of ``2^j * Q``, and a packed-word all-gather.
+   The composed value is bit-identical to the sequential single-device
    compose (both are the unique canonical representative mod Q).
-   Compose *compute* now scales with the mesh instead of replicating.
+   Compose *compute* scales with the mesh instead of replicating, and
+   the wire is below the GSPMD packed gather.
 
 2. **One psum per GLWE component, all issued before any level compute.**
    The k+1 input components are independent until the final accumulation,

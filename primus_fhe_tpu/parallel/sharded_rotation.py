@@ -7,8 +7,10 @@ gadget product (:mod:`.overlap`):
 
 * batch axis: pure data parallel — zero collectives;
 * residue axis: the ONE cross-residue contraction (CRT compose) runs as
-  the split-limb ``psum`` of :func:`.overlap._psum_bigint`, issued per
-  GLWE component ahead of the level compute;
+  the packed-floor reduce-scatter + sharded carry-walk + packed
+  all-gather of :func:`.overlap._psum_bigint` (W-bit limbs in u32
+  lanes, W = 32 - ceil(log2 D) — the scatter payload is the packed
+  size), issued per GLWE component ahead of the level compute;
 * per-residue NTTs (the inverse bringing the CMux diff to coefficients
   and the forward per gadget digit) route through the table-driven
   byte-radix MXU kernels (:mod:`..ops.ntt_mxu8_dyn`) on TPU — per-device
