@@ -67,7 +67,8 @@ def main():
                 return lambda v: mxu8_fused_roundtrip64_mul(m8plan, v, m8tabs, 1, t)
 
             # quick per-run tile calibration (clock/tunnel state varies):
-            # one short chained timing per tile, best wins
+            # short chained timings per tile, min of two tries, best wins
+            # (a single try can mis-rank tiles on a tunnel hiccup)
             best_t, best_dt = None, None
             for t in (32, 64, 128):
                 try:
@@ -79,11 +80,15 @@ def main():
                         return jnp.sum(v.lo ^ v.hi, dtype=jnp.uint32)
 
                     _ = float(cal(data, 8))
-                    t0 = time.perf_counter()
-                    _ = float(cal(data, 8))
-                    t1 = time.perf_counter()
-                    _ = float(cal(data, 40))
-                    dt = (time.perf_counter() - t1) - (t1 - t0)
+                    c1s, c2s = [], []
+                    for _i in range(2):
+                        t0 = time.perf_counter()
+                        _ = float(cal(data, 8))
+                        t1 = time.perf_counter()
+                        _ = float(cal(data, 40))
+                        c1s.append(t1 - t0)
+                        c2s.append(time.perf_counter() - t1)
+                    dt = max(min(c2s) - min(c1s), 1e-9)
                     print(f"[bench] mxu8 tile={t} cal={dt:.4f}s", file=sys.stderr)
                     if best_dt is None or dt < best_dt:
                         best_t, best_dt = t, dt
