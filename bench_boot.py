@@ -5,9 +5,10 @@ Config-5 (BASELINE.json): the full blind-rotation pipeline — modulus
 switch, n_lwe CMux external products (exact CRT-NTT backend), sample
 extraction — on one chip.  Rows written to ``BENCH_BOOT_r{PRIMUS_ROUND}.json``:
 
-1. TFHE gate bootstrap at the repo's own 128-bit profile (``params.py``
-   BOOLEAN_128: N=1024, n_lwe=630, L=3, B=2^7), batch 64 — the flagship
-   user-felt number;
+1. TFHE gate bootstrap at the repo's own estimator-validated 128-bit
+   profile (``params.py`` BOOLEAN_128: N=2048, n_lwe=630, L=3, B=2^7 —
+   dims read from the profile so the rows track it), batch 64 — the
+   flagship user-felt number;
 2. the same profile at batch 1 — single-gate latency (ms);
 3. the round-3/4-comparable light config (n_lwe=512, L=2, B=2^8),
    batch 64 — round-over-round progress tracking;
@@ -306,10 +307,19 @@ def main():
     )
     rows = []
 
-    # 1+2: STD128 flagship (batch 64) + single-gate latency (batch 1)
-    rec, shared = tfhe_row("std128-b64", 10, 1, 7, 3, 630, 64, use_mxu)
+    # 1+2: the estimator-validated 128-bit profile (batch 64) +
+    # single-gate latency (batch 1); dims come from params.BOOLEAN_128
+    from primus_fhe_tpu.params import BOOLEAN_128 as BP
+
+    rec, shared = tfhe_row(
+        "std128-b64", BP.log_n, BP.glwe_dim, BP.log_basis, BP.level,
+        BP.lwe_dim, 64, use_mxu,
+    )
     rows.append(rec)
-    rec1, _ = tfhe_row("std128-b1", 10, 1, 7, 3, 630, 1, use_mxu, shared=shared)
+    rec1, _ = tfhe_row(
+        "std128-b1", BP.log_n, BP.glwe_dim, BP.log_basis, BP.level,
+        BP.lwe_dim, 1, use_mxu, shared=shared,
+    )
     rec1["metric"] = rec1["metric"].replace("batched gate bootstraps/s",
                                             "single-gate bootstrap latency")
     rows.append(rec1)

@@ -9,9 +9,15 @@ logical value into every modulus slot.
 
 TPU design (SURVEY.md §7 hard part 6): the CDT lookup vectorizes as a
 ``searchsorted`` gather and is exact to 64-bit CDF resolution, so it is the
-on-device sampler for *all* sigmas used in FHE (σ ≲ 100 covers every
-published parameter set); Ziggurat's data-dependent rejection loop would
-defeat XLA and stays host-side (numpy) only as a cross-check in tests.
+on-device sampler for the small-sigma regime (σ ≲ 100 — every key/GLWE
+noise the shipped profiles use); Ziggurat's data-dependent rejection loop
+would defeat XLA and stays host-side (numpy) only as a cross-check in
+tests.  Above ``_CDT_SIGMA_MAX`` (the estimator-driven LWE noise widths,
+σ ~ 2^18 — ``params.py`` BOOLEAN_128) the CDT table would need ~20σ
+entries with an O(20σ)-per-sample compare-sum, so the sampler switches to
+a **rounded continuous Gaussian** (``round(sigma * N(0,1))``): at those
+widths the statistical distance to the true discrete Gaussian is far
+below the 2^-64 table resolution the CDT path itself tolerates.
 
 Randomness comes from ``jax.random`` keys — counter-based, reproducible,
 and splittable across shards, unlike the reference's sequential ``StdRng``.
@@ -87,6 +93,8 @@ class DiscreteGaussian:
     (``src/discrete_gaussian/cdt.rs``) with table resolution 2^-64.
     """
 
+    _CDT_SIGMA_MAX = 256.0  # above this, rounded-continuous sampling
+
     def __init__(self, sigma: float, mean: float = 0.0, tail_cut: float = 10.0):
         if sigma <= 0:
             raise ValueError("sigma must be positive")
@@ -94,6 +102,13 @@ class DiscreteGaussian:
         self.mean = float(mean)
         if mean != 0.0:
             raise NotImplementedError("nonzero mean not supported yet")
+        if sigma > self._CDT_SIGMA_MAX:
+            # rounded continuous Gaussian (see module docstring); 10-sigma
+            # tails of every shipped profile stay far inside int32
+            if sigma * tail_cut >= 2.0**31:
+                raise ValueError("sigma too large for int32 samples")
+            self.offsets = None
+            return
         max_t = int(np.ceil(sigma * tail_cut)) + 1
         ts = np.arange(-max_t, max_t + 1)
         # Exact-enough weights in float128-ish: use exp in float64 and
@@ -110,6 +125,9 @@ class DiscreteGaussian:
 
     def sample_signed(self, key, shape):
         """Signed int32 samples."""
+        if self.offsets is None:  # large-sigma rounded-continuous path
+            g = jax.random.normal(key, shape, dtype=jnp.float32)
+            return jnp.round(g * np.float32(self.sigma)).astype(jnp.int32)
         k1, k2 = jax.random.split(key)
         u_hi = _bits32(k1, shape)
         u_lo = _bits32(k2, shape)

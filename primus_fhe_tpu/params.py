@@ -6,11 +6,15 @@ one object carries every dimension/modulus/basis choice, and
 :func:`make_context` builds all plans, keys, and tables from it.
 
 The shipped sets follow standard TFHE-style parameterizations (the
-reference publishes none).  ``TOY`` is for tests/demos; ``BOOLEAN_128``
-mirrors the classic 128-bit-security TFHE boolean profile (lwe dimension
-630, N=1024) — security ultimately depends on the noise/dimension choices
-the deployment makes, and should be re-validated with a lattice estimator
-before production use.
+reference publishes none).  ``TOY`` is for tests/demos; the named
+128-bit profiles are validated by the in-repo core-SVP estimator
+(``utils/security.py``, anchored on Kyber/NewHope published numbers):
+every layer must clear **110 bits classical core-SVP** — the NIST
+category-1 convention under which Kyber-512 (118) and NewHope-512 (112)
+claim 128-bit security — and the gate noise budget must close with a
+4-sigma decryption margin > 1 (``noise.py`` model; enforced in
+``tests/test_security.py``).  Deployments should re-confirm with the
+maintained public lattice estimator against their exact distributions.
 """
 
 from __future__ import annotations
@@ -44,11 +48,30 @@ TOY = TfheParams(
     lwe_sigma=3.2, glwe_sigma=3.2,
 )
 
+# Estimator-validated 128-bit boolean profile (see module docstring for
+# the validation convention).  Core-SVP classical bits by
+# ``utils.security.tfhe_profile_security``: LWE layer (n=630, q=2^32,
+# sigma=2^18.6) ~ 110.5; GLWE layer (dim 2048 = k*N, sigma=3.2) ~ 195.
+# The GLWE ring is N=2048: at q=2^32 a dim-1024 GLWE layer tops out near
+# 2^100 core-SVP at any noise the gate budget can absorb — the known
+# degradation of the classic N=1024 TFHE sets (kept as BOOLEAN_TFHE_LIB
+# below).  Gate noise budget: 4-sigma pre-rotation margin ~ 1.33
+# (``tests/test_security.py``; per-gate failure ~ 1e-7).
 BOOLEAN_128 = TfheParams(
+    log_n=11, glwe_dim=1, lwe_dim=630,
+    log_basis=7, level=3, ks_log_basis=1, ks_level=12,
+    lwe_sigma=2.0**18.6, glwe_sigma=3.2,
+)
+
+# The classic TFHE-lib boolean set (lwe 630 / N=1024 / alpha_lwe=2^-15 /
+# alpha_bk=2^-25): its historical 128-bit claim evaluates to only ~2^98
+# (LWE) / ~2^96 (GLWE) classical core-SVP under the shipped estimator —
+# kept for continuity and round-over-round bench comparability, NOT as a
+# 128-bit profile.
+BOOLEAN_TFHE_LIB = TfheParams(
     log_n=10, glwe_dim=1, lwe_dim=630,
-    log_basis=7, level=3, ks_log_basis=4, ks_level=5,
-    lwe_sigma=2.0e22 / (1 << 32),  # illustrative; validate with an estimator
-    glwe_sigma=9.6,
+    log_basis=7, level=3, ks_log_basis=2, ks_level=8,
+    lwe_sigma=2.0**17, glwe_sigma=128.0,
 )
 
 
@@ -84,8 +107,10 @@ class NtruParams:
 # LWE dimension 610, near-ternary noise.  B=2^4 x L=5 covers the 20-bit
 # modulus; the gate noise budget closes with ~9 sigma of decision margin
 # (rotation noise sigma*(B/2)*sqrt(N*L*n_lwe) ~ 2^12.8 vs the q/16
-# boolean margin 2^16).  As with BOOLEAN_128, re-validate noise/dimension
-# with a lattice estimator before production use.
+# boolean margin 2^16).  Estimator-validated
+# (``utils.security.ntru_profile_security``): NTRU key recovery ~ 2^123
+# classical core-SVP, the key-switched LWE layer ~ 2^114 — both clear
+# the 110-bit category-1 bar (see module docstring).
 NTRU_128 = NtruParams(
     log_n=10, q_bits=20, lwe_dim=610,
     log_basis=4, level=5, ks_log_basis=4, ks_level=5,
