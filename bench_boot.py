@@ -21,6 +21,9 @@ extraction — on one chip.  Rows written to ``BENCH_BOOT_r{PRIMUS_ROUND}.json``
 Timing uses the difference-of-workloads discipline (two rep counts,
 min-per-size, constant dispatch/fetch overhead cancels — CLAUDE.md).
 Not the driver headline (that is bench.py); run manually.
+``scratch/row_b128.py`` (B128_BATCH=128/256) appends peak-throughput
+rows at larger batches, and ``scratch/row_tfhe_lib.py`` the legacy
+TFHE-lib-geometry round-over-round row.
 """
 
 import json
