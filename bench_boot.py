@@ -245,10 +245,14 @@ def ntru_gate_row(use_mxu, batch=16):
     ys = (np.arange(batch) // 2) % 2
     sv = np.asarray(s).astype(np.int64)
 
+    # fresh encryptions carry the profile's lwe_sigma (>= the ks floor;
+    # the key-generation sigma alone would leave fresh cts ~2^65-weak)
+    enc_gauss = DiscreteGaussian(p.lwe_sigma)
+
     def enc(k, mu):
         ka, ke = jax.random.split(k)
         a = sample_uniform(ka, (p.lwe_dim,), ctx.q_int)
-        e = gauss.sample_mod(ke, (), ctx.q_int)
+        e = enc_gauss.sample_mod(ke, (), ctx.q_int)
         b = (
             int(np.asarray(a, dtype=np.int64) @ sv) + int(mu) + int(e)
         ) % ctx.q_int

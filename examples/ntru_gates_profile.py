@@ -68,10 +68,14 @@ def main():
 
     sv = np.asarray(s).astype(np.int64)
 
+    # fresh encryptions carry the profile's lwe_sigma (>= the ks floor;
+    # key-generation sigma alone would leave fresh ciphertexts weak)
+    enc_gauss = DiscreteGaussian(p.lwe_sigma)
+
     def enc(k, bit):
         ka, ke = jax.random.split(k)
         a = sample_uniform(ka, (n_lwe,), ctx.q_int)
-        e = gauss.sample_mod(ke, (), ctx.q_int)
+        e = enc_gauss.sample_mod(ke, (), ctx.q_int)
         mu = true_mu(ctx) if bit else false_mu(ctx)
         b = (
             int(np.asarray(a, dtype=np.int64) @ sv) + int(mu) + int(e)

@@ -89,7 +89,13 @@ class NtruParams:
     level: int  # gadget levels
     ks_log_basis: int  # key-switch basis
     ks_level: int  # key-switch levels
-    sigma: float  # Gaussian noise stddev (mod-q units)
+    sigma: float  # key/evk/ksk Gaussian noise stddev (mod-q units)
+    # FRESH LWE encryption noise (mod-q units).  Must be at least the
+    # key-switch output floor sqrt(N * L_ks * B_ks^2/12) * sigma: a
+    # fresh ciphertext is the weakest the adversary ever sees, so its
+    # noise — not just the post-gate floor — must carry the LWE layer's
+    # security (utils.security.ntru_profile_security prices the min).
+    lwe_sigma: float = 0.0
 
     @property
     def n(self) -> int:
@@ -114,7 +120,7 @@ class NtruParams:
 NTRU_128 = NtruParams(
     log_n=10, q_bits=20, lwe_dim=610,
     log_basis=4, level=5, ks_log_basis=4, ks_level=5,
-    sigma=0.5,
+    sigma=0.5, lwe_sigma=165.0,  # = the ks output floor (2^7.4)
 )
 
 

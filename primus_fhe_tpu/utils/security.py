@@ -239,10 +239,11 @@ def tfhe_profile_security(params) -> dict:
 
 def ntru_profile_security(params) -> dict:
     """Security report for a :class:`~primus_fhe_tpu.params.NtruParams`:
-    NTRU key recovery at dimension ``n`` plus the binary-LWE layer the
-    gates key-switch into (dimension ``lwe_dim`` mod ``q``; its noise is
-    the key-switch output noise floor, dominated by the gadget MAC term
-    ``sqrt(n * L * B^2 / 12) * sigma`` — see ``noise.key_switch``)."""
+    NTRU key recovery at dimension ``n`` plus the binary-LWE layer
+    (dimension ``lwe_dim`` mod ``q``).  The LWE layer is priced at the
+    WEAKEST ciphertext the adversary sees: the smaller of the fresh
+    encryption noise ``lwe_sigma`` and the key-switch output floor
+    ``sqrt(n * L * B^2 / 12) * sigma`` (see ``noise.key_switch``)."""
     q = float(params.q)
     ntru = ntru_security(params.n, q, params.sigma)
     ks_var = (
@@ -252,7 +253,10 @@ def ntru_profile_security(params) -> dict:
         * params.sigma
         * params.sigma
     )
-    lwe = lwe_security(params.lwe_dim, q, math.sqrt(ks_var), "binary")
+    fresh = params.lwe_sigma if params.lwe_sigma > 0 else math.sqrt(ks_var)
+    lwe = lwe_security(
+        params.lwe_dim, q, min(fresh, math.sqrt(ks_var)), "binary"
+    )
     return {
         "ntru": ntru,
         "lwe": lwe,

@@ -81,6 +81,17 @@ def test_ntru_128_layers_clear_the_bar():
     assert rep["lwe"].classical_bits >= 110.0
 
 
+def test_ntru_fresh_encryption_noise_at_least_ks_floor():
+    # fresh ciphertexts are the weakest the adversary sees; their noise
+    # must carry the LWE layer, not just the post-gate ks floor
+    p = NTRU_128
+    floor = (
+        math.sqrt(p.n * p.ks_level * (1 << (2 * p.ks_log_basis)) / 12.0)
+        * p.sigma
+    )
+    assert p.lwe_sigma >= 0.95 * floor
+
+
 def test_toy_is_toy():
     rep = S.tfhe_profile_security(TOY)
     assert rep["classical_bits"] < 60.0  # demos only, never secure
