@@ -173,7 +173,12 @@ def make_context(key, params: TfheParams = TOY, bsk_kind: str = "auto") -> TfheC
     basis = ApproxSignedBasis32(None, p.log_basis, reverse_length=p.level)
     ks_basis = ApproxSignedBasis32(None, p.ks_log_basis, reverse_length=p.ks_level)
     conv = tfhe.make_convolver(p.log_n, p.level, p.glwe_dim, p.log_basis)
+    # ctx.gaussian is the LWE-side sampler (fresh encryptions, ksk rows);
+    # the bootstrap key is GLWE-encrypted and MUST use glwe_sigma — at
+    # estimator-validated profiles lwe_sigma is ~2^18 while glwe_sigma
+    # is ~3, and swapping them scrambles every gate.
     gaussian = DiscreteGaussian(max(p.lwe_sigma, 1e-6))
+    glwe_gaussian = DiscreteGaussian(max(p.glwe_sigma, 1e-6))
     k1, k2, k3, k4 = jax.random.split(key, 4)
     lwe_secret = (jax.random.bits(k1, (p.lwe_dim,), dtype=jnp.uint32) & 1).astype(
         jnp.uint32
@@ -188,10 +193,12 @@ def make_context(key, params: TfheParams = TOY, bsk_kind: str = "auto") -> TfheC
     )
     if use_mxu:
         bsk = make_bootstrap_key_mxu(
-            k3, lwe_secret, glwe_secret, basis, gaussian, conv
+            k3, lwe_secret, glwe_secret, basis, glwe_gaussian, conv
         )
     else:
-        bsk = make_bootstrap_key(k3, lwe_secret, glwe_secret, basis, gaussian, conv)
+        bsk = make_bootstrap_key(
+            k3, lwe_secret, glwe_secret, basis, glwe_gaussian, conv
+        )
     ksk = keyswitch.make_keyswitch_key(
         k4, glwe_secret.reshape(-1), lwe_secret, ks_basis, gaussian
     )

@@ -54,3 +54,35 @@ def test_key_serialization_roundtrip():
         ctx2.params.log_n,
     )
     assert _decrypt(out, ctx2.lwe_secret) is True  # NAND(F, T) = T
+
+
+def test_make_context_bsk_uses_glwe_sigma():
+    """Wide-LWE / narrow-GLWE profile (the estimator-validated shape):
+    the bootstrap key must be encrypted at glwe_sigma.  Keying the bsk
+    with this test's lwe_sigma=4e4 would put ~2^26.8 of blind-rotate
+    noise on every output (vs ~2^24.8 legitimate total), so 64 samples
+    against a 2^27 deviation bound separate the two cases cleanly."""
+    import dataclasses
+
+    from primus_fhe_tpu.boot import bootstrap as boot_fn
+
+    p = dataclasses.replace(P.TOY, lwe_sigma=4.0e4, glwe_sigma=3.2)
+    ctx = P.make_context(jax.random.PRNGKey(5), p)
+    batch = 64
+    key = jax.random.PRNGKey(6)
+    mus = jnp.asarray(
+        np.where(
+            np.arange(batch) % 2 == 0, 1 << 29, (1 << 32) - (1 << 29)
+        ).astype(np.uint32)
+    )
+    a = jax.random.bits(key, (batch, p.lwe_dim), dtype=jnp.uint32)
+    b = jnp.sum(a * ctx.lwe_secret[None], axis=1, dtype=jnp.uint32) + mus
+    cts = jnp.concatenate([a, b[:, None]], axis=1)
+    test_poly = jnp.full(p.n, jnp.uint32(1 << 28), dtype=jnp.uint32)
+    out = boot_fn(ctx.conv, ctx.basis, ctx.bsk, cts, test_poly, p.log_n)
+    ph = np.asarray(
+        phase_torus32(out, ctx.glwe_secret.reshape(-1))
+    ).astype(np.int64)
+    ph = np.where(ph >= 1 << 31, ph - (1 << 32), ph)
+    assert ((ph > 0) == (np.arange(batch) % 2 == 0)).all()
+    assert (np.abs(np.abs(ph) - (1 << 28)) < 1 << 27).all()
