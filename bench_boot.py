@@ -231,7 +231,11 @@ def ntru_gate_row(use_mxu, batch=16):
     else:
         evk = nb.make_ntru_bootstrap_key(k3, ctx, sk, s, gauss)
         path = "ntru-pallas"
-    ksk = nb.make_ntru_keyswitch_key(k4, ctx, sk, s, ks_basis, gauss)
+    # ksk rows are LWE samples under s: their noise must carry the LWE
+    # layer's security on its own (params.py NtruParams.lwe_sigma)
+    ksk = nb.make_ntru_keyswitch_key(
+        k4, ctx, sk, s, ks_basis, DiscreteGaussian(p.lwe_sigma)
+    )
     jax.block_until_ready(ksk)
     print(
         f"[bench_boot] NTRU_128: q={p.q} evk+ksk built in "

@@ -62,7 +62,11 @@ def main():
     sk = ntru_keygen(k1, ctx)
     s = (jax.random.bits(k2, (n_lwe,), dtype=jnp.uint32) & 1).astype(jnp.uint32)
     evk = make_ntru_bootstrap_key(k3, ctx, sk, s, gauss)
-    ksk = make_ntru_keyswitch_key(k4, ctx, sk, s, ks_basis, gauss)
+    # ksk rows are LWE samples under s: sample their noise at the
+    # LWE-layer sigma, not the NTRU-side sigma
+    ksk = make_ntru_keyswitch_key(
+        k4, ctx, sk, s, ks_basis, DiscreteGaussian(p.lwe_sigma)
+    )
     jax.block_until_ready(ksk)
     print(f"keys generated in {time.time()-t0:.1f}s", flush=True)
 

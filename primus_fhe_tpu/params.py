@@ -89,12 +89,12 @@ class NtruParams:
     level: int  # gadget levels
     ks_log_basis: int  # key-switch basis
     ks_level: int  # key-switch levels
-    sigma: float  # key/evk/ksk Gaussian noise stddev (mod-q units)
-    # FRESH LWE encryption noise (mod-q units).  Must be at least the
-    # key-switch output floor sqrt(N * L_ks * B_ks^2/12) * sigma: a
-    # fresh ciphertext is the weakest the adversary ever sees, so its
-    # noise — not just the post-gate floor — must carry the LWE layer's
-    # security (utils.security.ntru_profile_security prices the min).
+    sigma: float  # NTRU-side noise stddev (ntru keygen + evk; mod-q units)
+    # LWE-side noise stddev (mod-q units): fresh LWE encryptions AND the
+    # key-switch-key rows — both are LWE samples under the binary secret
+    # that the adversary sees, so both must carry the LWE layer's
+    # security on their own.  (Keying the ksk at the NTRU-side sigma
+    # would leak a near-noiseless LWE instance through the eval key.)
     lwe_sigma: float = 0.0
 
     @property
@@ -110,17 +110,20 @@ class NtruParams:
 
 # 128-bit-class NTRU boolean profile: the FINAL geometry (Bonte et al.,
 # EUROCRYPT'22 NGS setting) — N=1024 with a ~2^20 NTRU modulus, binary
-# LWE dimension 610, near-ternary noise.  B=2^4 x L=5 covers the 20-bit
-# modulus; the gate noise budget closes with ~9 sigma of decision margin
-# (rotation noise sigma*(B/2)*sqrt(N*L*n_lwe) ~ 2^12.8 vs the q/16
-# boolean margin 2^16).  Estimator-validated
+# LWE dimension 610, near-ternary NTRU-side noise.  B=2^4 x L=5 covers
+# the 20-bit modulus for the NGS external product.  Estimator-validated
 # (``utils.security.ntru_profile_security``): NTRU key recovery ~ 2^123
-# classical core-SVP, the key-switched LWE layer ~ 2^114 — both clear
-# the 110-bit category-1 bar (see module docstring).
+# classical core-SVP; the LWE layer (fresh encryptions AND ksk rows at
+# lwe_sigma=165) ~ 2^114 — both clear the 110-bit category-1 bar (see
+# module docstring).  The ks gadget is B=2 x L=12 so the key switch
+# stays inside the decode budget at that ksk noise: total pre-decision
+# sigma ~ sqrt(ks 10.7k^2 + rotation 7.1k^2 + modswitch 1.8k^2) ~ 12.9k
+# vs the q/16 margin 64.9k — a 5.0-sigma decision margin (~4e-7
+# per-gate failure; enforced in tests/test_security.py).
 NTRU_128 = NtruParams(
     log_n=10, q_bits=20, lwe_dim=610,
-    log_basis=4, level=5, ks_log_basis=4, ks_level=5,
-    sigma=0.5, lwe_sigma=165.0,  # = the ks output floor (2^7.4)
+    log_basis=4, level=5, ks_log_basis=1, ks_level=12,
+    sigma=0.5, lwe_sigma=165.0,
 )
 
 

@@ -240,23 +240,18 @@ def tfhe_profile_security(params) -> dict:
 def ntru_profile_security(params) -> dict:
     """Security report for a :class:`~primus_fhe_tpu.params.NtruParams`:
     NTRU key recovery at dimension ``n`` plus the binary-LWE layer
-    (dimension ``lwe_dim`` mod ``q``).  The LWE layer is priced at the
-    WEAKEST ciphertext the adversary sees: the smaller of the fresh
-    encryption noise ``lwe_sigma`` and the key-switch output floor
-    ``sqrt(n * L * B^2 / 12) * sigma`` (see ``noise.key_switch``)."""
+    (dimension ``lwe_dim`` mod ``q``).  The LWE layer is priced at
+    ``lwe_sigma`` — the noise of BOTH fresh encryptions and the
+    key-switch-key rows, the two kinds of LWE sample under the binary
+    secret the adversary sees (``params.py`` convention; the benches
+    and examples sample both at it)."""
     q = float(params.q)
     ntru = ntru_security(params.n, q, params.sigma)
-    ks_var = (
-        params.n
-        * params.ks_level
-        * (float(1 << (2 * params.ks_log_basis)) / 12.0)
-        * params.sigma
-        * params.sigma
-    )
-    fresh = params.lwe_sigma if params.lwe_sigma > 0 else math.sqrt(ks_var)
-    lwe = lwe_security(
-        params.lwe_dim, q, min(fresh, math.sqrt(ks_var)), "binary"
-    )
+    if params.lwe_sigma <= 0:
+        raise ValueError(
+            "NtruParams.lwe_sigma must be set (fresh-LWE + ksk noise)"
+        )
+    lwe = lwe_security(params.lwe_dim, q, params.lwe_sigma, "binary")
     return {
         "ntru": ntru,
         "lwe": lwe,

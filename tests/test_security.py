@@ -81,15 +81,26 @@ def test_ntru_128_layers_clear_the_bar():
     assert rep["lwe"].classical_bits >= 110.0
 
 
-def test_ntru_fresh_encryption_noise_at_least_ks_floor():
-    # fresh ciphertexts are the weakest the adversary sees; their noise
-    # must carry the LWE layer, not just the post-gate ks floor
+def test_ntru_128_noise_budget_closes():
+    """The decode budget must close WITH the ksk sampled at the
+    LWE-layer sigma (the security-mandated level): total pre-decision
+    sigma vs the q/16 boolean margin."""
     p = NTRU_128
-    floor = (
-        math.sqrt(p.n * p.ks_level * (1 << (2 * p.ks_log_basis)) / 12.0)
-        * p.sigma
-    )
-    assert p.lwe_sigma >= 0.95 * floor
+    q = p.q
+    # key switch (N -> n_lwe) at ksk noise lwe_sigma: gadget + drop
+    bks2 = float(1 << (2 * p.ks_log_basis))
+    ks_gadget = p.n * p.ks_level * (bks2 / 12.0) * p.lwe_sigma**2
+    drop = q.bit_length() - p.ks_log_basis * p.ks_level
+    eps = float(1 << drop) if drop > 0 else 0.0
+    ks_drop = p.n * (eps * eps / 12.0) * 0.5
+    # blind rotation: sigma * (B/2) * sqrt(N * L * n_lwe)
+    rot = (p.sigma * (1 << p.log_basis) / 2.0) ** 2 * p.n * p.level * p.lwe_dim
+    # modulus switch to 2N
+    step = q / (2.0 * p.n)
+    ms = (p.lwe_dim + 1) * step * step / 48.0
+    total = math.sqrt(ks_gadget + ks_drop + rot + ms + p.lwe_sigma**2)
+    margin = (q / 16.0) / (4.0 * total)
+    assert margin > 1.2, f"NTRU gate margin {margin:.2f} too small"
 
 
 def test_toy_is_toy():
