@@ -120,8 +120,15 @@ class NtruParams:
 # module docstring).  The ks gadget is B=2 x L=12 so the key switch
 # stays inside the decode budget at that ksk noise: total pre-decision
 # sigma ~ sqrt(ks 10.7k^2 + rotation 7.1k^2 + modswitch 1.8k^2) ~ 12.9k
-# vs the q/16 margin 64.9k — a 5.0-sigma decision margin (~4e-7
-# per-gate failure; enforced in tests/test_security.py).
+# by the model vs the q/16 margin 64.9k (enforced in
+# tests/test_security.py).  On-chip measurement
+# (NOISE_CHECK_NTRU_r05.json): the model UNDER-predicts 1.40x for NTRU
+# (balanced B=2 digit variance ~0.5 > B^2/12, NTRU key-norm effects) —
+# the measured decision margin is 3.6 sigma, ~1.5e-4 per-gate failure.
+# For lower failure rates use a finer NGS gadget (log_basis=2/level=10:
+# rotation noise 2.8x lower at 2x gate cost) or a FINAL-style
+# switch-to-small-modulus before the key switch (the ks noise scales
+# with lwe_sigma ~ q, so raising q alone does not help).
 NTRU_128 = NtruParams(
     log_n=10, q_bits=20, lwe_dim=610,
     log_basis=4, level=5, ks_log_basis=1, ks_level=12,

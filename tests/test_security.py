@@ -84,7 +84,11 @@ def test_ntru_128_layers_clear_the_bar():
 def test_ntru_128_noise_budget_closes():
     """The decode budget must close WITH the ksk sampled at the
     LWE-layer sigma (the security-mandated level): total pre-decision
-    sigma vs the q/16 boolean margin."""
+    sigma vs the q/16 boolean margin.  This enforces the MODEL floor;
+    on-chip measurement (NOISE_CHECK_NTRU_r05.json) finds the model
+    under-predicts 1.40x for NTRU, leaving a 3.6-sigma real margin —
+    see the NTRU_128 docstring for the levers if lower failure rates
+    are needed."""
     p = NTRU_128
     q = p.q
     # key switch (N -> n_lwe) at ksk noise lwe_sigma: gadget + drop
