@@ -112,27 +112,34 @@ class NtruParams:
 
 # 128-bit-class NTRU boolean profile: the FINAL geometry (Bonte et al.,
 # EUROCRYPT'22 NGS setting) — N=1024 with a ~2^20 NTRU modulus, binary
-# LWE dimension 610, near-ternary NTRU-side noise.  B=2^4 x L=5 covers
-# the 20-bit modulus for the NGS external product.  Estimator-validated
+# LWE secrets, near-ternary NTRU-side noise.  Estimator-validated
 # (``utils.security.ntru_profile_security``): NTRU key recovery ~ 2^123
 # classical core-SVP; the LWE layer (fresh encryptions AND ksk rows at
-# lwe_sigma=165) ~ 2^114 — both clear the 110-bit category-1 bar (see
-# module docstring).  The ks gadget is B=2 x L=12 so the key switch
-# stays inside the decode budget at that ksk noise: total pre-decision
-# sigma ~ sqrt(ks 10.7k^2 + rotation 7.1k^2 + modswitch 1.8k^2) ~ 12.9k
-# by the model vs the q/16 margin 64.9k (enforced in
-# tests/test_security.py).  On-chip measurement
-# (NOISE_CHECK_NTRU_r05.json): the model UNDER-predicts 1.40x for NTRU
-# (balanced B=2 digit variance ~0.5 > B^2/12, NTRU key-norm effects) —
-# the measured decision margin is 3.6 sigma, ~1.5e-4 per-gate failure.
-# For lower failure rates use a finer NGS gadget (log_basis=2/level=10:
-# rotation noise 2.8x lower at 2x gate cost) or a FINAL-style
-# switch-to-small-modulus before the key switch (the ks noise scales
-# with lwe_sigma ~ q, so raising q alone does not help).
+# lwe_sigma) clears the 110-bit category-1 bar (see module docstring).
+#
+# Noise-budget design, tuned against ON-CHIP measurements
+# (NOISE_CHECK_NTRU_r05.json; two-config calibration showed the NGS
+# rotation term runs ~2.2x the textbook model while the ks term tracks
+# it):
+# * LWE dimension/noise: the ks noise floor is (gadget factor ~66 at
+#   B=2 x L=12) * the security-minimum sigma, and that minimum falls
+#   ~3x per +50 dimensions — n_lwe=700 needs only sigma ~28
+#   (lwe_sigma=52 gives headroom, ~2^114) vs n=610 needing 126+.
+#   Raising q cannot help (ks noise scales with lwe_sigma ~ q).
+# * NGS gadget B=2^3 x L=6 (drop 2): rotation noise ~2.2x lower than
+#   B=2^4 x L=5 at 1.2x the CMux count.
+# * ks_level=16 (drop 4): the ks DROP error multiplies the NTRU secret
+#   f = 1 + t*f' whose coefficients carry E[f^2] ~ t^2*2/3 ~ 43 (t=8),
+#   so an 8-bit drop costs eps*sqrt(N*E[f^2]/12) ~ 15.4k — the
+#   measured-constant noise floor that three on-chip configs pinned
+#   down (NOISE_CHECK_NTRU_r05.json history); at drop 4 it is ~1k.
+# Decision margin: measured on-chip 7.6 sigma
+# (NOISE_CHECK_NTRU_r05.json; ~1e-14 per-gate failure).  Enforced in
+# tests/test_security.py with the f-scaled drop term.
 NTRU_128 = NtruParams(
-    log_n=10, q_bits=20, lwe_dim=610,
-    log_basis=4, level=5, ks_log_basis=1, ks_level=12,
-    sigma=0.5, lwe_sigma=165.0,
+    log_n=10, q_bits=20, lwe_dim=700,
+    log_basis=3, level=6, ks_log_basis=1, ks_level=16,
+    sigma=0.5, lwe_sigma=52.0,
 )
 
 

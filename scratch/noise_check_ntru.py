@@ -79,7 +79,8 @@ bks2 = float(1 << (2 * p.ks_log_basis))
 ks_g = p.n * p.ks_level * (bks2 / 12.0) * p.lwe_sigma**2
 drop = p.q.bit_length() - p.ks_log_basis * p.ks_level
 eps = float(1 << drop) if drop > 0 else 0.0
-ks_d = p.n * (eps * eps / 12.0) * 0.5
+# the drop error multiplies the t-scaled NTRU secret f = 1 + t*f'
+ks_d = p.n * (eps * eps / 12.0) * (8.0 * 8.0 * 2.0 / 3.0)
 pred = math.sqrt(rot + ks_g + ks_d)
 rec = {
     "check": "NTRU NAND output noise, NTRU_128 (post-gate phase)",

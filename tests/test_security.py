@@ -91,12 +91,16 @@ def test_ntru_128_noise_budget_closes():
     are needed."""
     p = NTRU_128
     q = p.q
-    # key switch (N -> n_lwe) at ksk noise lwe_sigma: gadget + drop
+    # key switch (N -> n_lwe) at ksk noise lwe_sigma: gadget + drop.
+    # The drop error multiplies the NTRU secret f = 1 + t*f' (ternary
+    # f'), E[f^2] ~ t^2 * 2/3 — NOT a binary secret's 1/2 (measured
+    # on-chip: the 8-bit-drop config's 15.4k noise floor).
     bks2 = float(1 << (2 * p.ks_log_basis))
     ks_gadget = p.n * p.ks_level * (bks2 / 12.0) * p.lwe_sigma**2
     drop = q.bit_length() - p.ks_log_basis * p.ks_level
     eps = float(1 << drop) if drop > 0 else 0.0
-    ks_drop = p.n * (eps * eps / 12.0) * 0.5
+    t = 8.0  # make_ntru_context t_scale
+    ks_drop = p.n * (eps * eps / 12.0) * (t * t * 2.0 / 3.0)
     # blind rotation: sigma * (B/2) * sqrt(N * L * n_lwe)
     rot = (p.sigma * (1 << p.log_basis) / 2.0) ** 2 * p.n * p.level * p.lwe_dim
     # modulus switch to 2N
