@@ -15,8 +15,8 @@ extraction — on one chip.  Rows written to ``BENCH_BOOT_r{PRIMUS_ROUND}.json``
 4. NTRU blind-rotate us/CMux at the legacy 2^30-tier config (round-4
    comparable);
 5. NTRU end-to-end NAND gates/s at the named NTRU_128 profile
-   (``params.py``: FINAL geometry, N=1024, q~2^20, n_lwe=610, B=2^4,
-   L=5), correctness-checked over the full truth table.
+   (``params.py``: FINAL geometry, N=1024, q~2^20, dims read from the
+   profile), correctness-checked over the full truth table.
 
 Timing uses the difference-of-workloads discipline (two rep counts,
 min-per-size, constant dispatch/fetch overhead cancels — CLAUDE.md).

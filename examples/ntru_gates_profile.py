@@ -7,7 +7,7 @@ FINAL-style bootstrap (modulus switch -> NTRU blind rotation -> extract
 -> key switch), decrypt, and check the truth tables.
 
 Run: python examples/ntru_gates_profile.py
-(CPU ~4 min, dominated by key generation at the full n_lwe=610; set
+(CPU ~4 min, dominated by key generation at the full n_lwe=700; set
 PRIMUS_NTRU_SMALL=1 for an n_lwe=16 smoke run.)
 """
 
